@@ -1,0 +1,91 @@
+"""Benchmark: rendering throughput of the forward-facing (Nvidia-eval) model.
+
+Measures rays/sec through the coarse+fine render core at the benchmark's
+working shape (64 coarse + 64 fine samples, 7 dynamic + 11 static source
+views, inverse-depth sampling, 288p sources) on whatever accelerator
+`jax.devices()` exposes, and prints ONE JSON line.
+
+vs_baseline: the reference evaluates one Nvidia scene in ~8 h on 4×A100
+(README.md:61).  A scene is (N-6) frames × 11 viewpoints at 288×512 ≈
+admission of ~24 frames -> 198 renders × 147,456 rays ≈ 29.2 M rays / 28,800 s
+≈ 1,014 rays/s for the whole 4-GPU box, i.e. ~253 rays/s per A100.
+vs_baseline reports measured rays/s-per-chip ÷ 1,014 rays/s — i.e. >1 means
+ONE TPU chip beats the reference's entire 4×A100 eval throughput.  The
+estimate is documented, not measured (the repo publishes no throughput
+numbers, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_RAYS_PER_SEC_4XA100 = 1014.0
+
+
+def main():
+  from dynibar_tpu.config import RenderSettings
+  from dynibar_tpu.data.ray_batch import synthetic_ff_batch
+  from dynibar_tpu.models.dynibar import FFModel
+  from dynibar_tpu.render.render_rays import render_rays_mv
+
+  cfg = RenderSettings(
+      n_samples=64, n_importance=64, num_views_dy=7, num_views_anchor=0,
+      num_views_static=11, num_vv=0, num_basis=6, inv_uniform=True)
+  model = FFModel(cfg=cfg, num_frames=48)
+  params = model.init_params(jax.random.PRNGKey(0))
+
+  chunk = 2048  # rays per device program
+  rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
+      cfg, n_rays=chunk, h=288, w=512, num_frames=48).items()}
+
+  coarse = (model.apply_feature(params, "feature_net", rb["src_rgbs"])[0],
+            None,
+            model.apply_feature(params, "feature_net",
+                                rb["static_src_rgbs"])[1])
+  fine = (model.apply_feature(params, "feature_net_fine", rb["src_rgbs"])[0],
+          None,
+          model.apply_feature(params, "feature_net_fine",
+                              rb["static_src_rgbs"])[1])
+  coarse = jax.tree_util.tree_map(jax.block_until_ready, coarse)
+  fine = jax.tree_util.tree_map(jax.block_until_ready, fine)
+
+  @jax.jit
+  def render(params, rb, coarse, fine, feedback):
+    rb = dict(rb)
+    # thread the previous output into this call's input so consecutive
+    # iterations cannot be deduplicated / overlapped by the runtime
+    rb["ray_o"] = rb["ray_o"] + feedback * 1e-12
+    ret = render_rays_mv(model, params, rb, coarse, fine, cfg, det=True)
+    rgb = ret["outputs_fine_ref"]["rgb"]
+    return rgb, jnp.mean(rgb)
+
+  # warmup / compile; on this backend block_until_ready does not actually
+  # fence remote execution — a host transfer of the result does, so every
+  # sync point below materializes a scalar
+  import numpy as np
+  fb = jnp.zeros(())
+  out, fb = render(params, rb, coarse, fine, fb)
+  float(fb)
+
+  iters = 20
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    out, fb = render(params, rb, coarse, fine, fb)
+  float(fb)  # forces the whole dependent chain to finish
+  dt = time.perf_counter() - t0
+
+  rays_per_sec = iters * chunk / dt
+  print(json.dumps({
+      "metric": "ff_eval_rays_per_sec_per_chip",
+      "value": round(rays_per_sec, 1),
+      "unit": "rays/s",
+      "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_4XA100, 3),
+  }))
+
+
+if __name__ == "__main__":
+  main()

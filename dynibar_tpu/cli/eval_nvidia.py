@@ -1,0 +1,59 @@
+"""Nvidia benchmark eval CLI.
+
+Rebuild of the reference eval entry point (eval_nvidia.py:266-481).
+
+Usage:
+  python -m dynibar_tpu.cli.eval_nvidia --config configs_nvidia/eval_x.txt \
+      [--coarse_ckpt path.pth --fine_ckpt path.pth]  # torch checkpoints
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from dynibar_tpu.cli.train import parse_args as parse_config_args
+from dynibar_tpu.config import DynibarConfig
+from dynibar_tpu.eval.nvidia_eval import evaluate_scene
+from dynibar_tpu.models.dynibar import FFModel
+from dynibar_tpu.utils import checkpoints as ckpt_lib
+
+
+def main():
+  ap = argparse.ArgumentParser(add_help=False)
+  ap.add_argument("--coarse_ckpt", type=str, default="")
+  ap.add_argument("--fine_ckpt", type=str, default="")
+  ap.add_argument("--lpips_weights_dir", type=str, default="")
+  known, _ = ap.parse_known_args()
+  config = parse_config_args()
+
+  from dynibar_tpu.data.nvidia import NvidiaSceneData
+  scene = config.eval_scenes[0]
+  data = NvidiaSceneData(config, scene)
+  config.num_frames = data.num_frames
+  cfg = config.render_settings("ff")
+  model = FFModel(cfg=cfg, num_frames=data.num_frames)
+
+  if known.coarse_ckpt and known.fine_ckpt:
+    from dynibar_tpu.utils.torch_convert import convert_ff_checkpoint
+    params = convert_ff_checkpoint(known.coarse_ckpt, known.fine_ckpt)
+    print("loaded converted torch checkpoints")
+  else:
+    payload, step = ckpt_lib.resume_from(config.out_folder(),
+                                         config.ckpt_path)
+    if payload is not None:
+      params = payload["params"]
+      print(f"resumed orbax checkpoint at step {step}")
+    else:
+      params = model.init_params(jax.random.PRNGKey(0))
+      print("WARNING: no checkpoint found — evaluating random init")
+
+  result = evaluate_scene(config, model, params, scene,
+                          lpips_weights_dir=known.lpips_weights_dir or None)
+  print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+  main()

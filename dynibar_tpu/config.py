@@ -1,0 +1,224 @@
+"""Configuration system.
+
+Feature-parity rebuild of the reference flag set (reference: config.py:6-375)
+as typed dataclasses, plus a reader for the reference's configargparse-style
+``key = value`` config ``.txt`` files (``configs/*.txt``, ``configs_nvidia/*.txt``)
+so existing experiment configs keep working.
+
+Two layers:
+  * :class:`DynibarConfig` — every user-facing knob of the reference.
+  * :class:`RenderSettings` — the *static* (compile-time) subset the jitted
+    render core closes over: sample counts, padded view counts, flags that
+    select program structure.  Keeping these in a hashable frozen dataclass
+    makes them safe to pass as static args to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence
+
+
+def _parse_value(field_type, raw: str):
+  raw = raw.strip()
+  if field_type is bool:
+    return raw.lower() in ("1", "true", "yes", "on")
+  if field_type is int:
+    return int(raw)
+  if field_type is float:
+    return float(raw)
+  if field_type in (List[str], list):
+    return raw.split()
+  return raw
+
+
+@dataclasses.dataclass
+class DynibarConfig:
+  """All knobs of the system (mirrors reference config.py:6-375)."""
+
+  # general / paths
+  config: Optional[str] = None
+  rootdir: str = "./"
+  folder_path: str = ""
+  coarse_dir: str = ""
+  expname: str = "exp"
+  distributed: bool = False
+  local_rank: int = 0
+  workers: int = 4
+
+  # data / masking options
+  mask_src_view: bool = False
+  mask_static: bool = False
+  training_height: int = 288
+  erosion_radius: int = 1
+
+  # ray/batch options
+  N_rand: int = 512
+  sample_mode: str = "uniform"
+  chunk_size: int = 4096
+
+  # model options
+  coarse_feat_dim: int = 32
+  fine_feat_dim: int = 32
+  num_source_views: int = 7
+  num_basis: int = 6
+  anti_alias_pooling: int = 1
+  mask_rgb: int = 1
+  num_vv: int = 3
+  lr_multipler: float = 1.0
+
+  # curriculum / schedules
+  init_decay_epoch: int = 150
+  max_range: int = 35
+  decay_rate: float = 10.0
+  cycle_factor: float = 0.1
+  anneal_cycle: bool = False
+
+  # datasets
+  eval_dataset: str = "llff_test"
+  eval_scenes: List[str] = dataclasses.field(default_factory=list)
+  train_dataset: str = "monocular"
+  train_scenes: List[str] = dataclasses.field(default_factory=list)
+  render_idx: int = -1
+
+  # checkpoints
+  no_reload: bool = False
+  ckpt_path: str = ""
+  no_load_opt: bool = False
+  no_load_scheduler: bool = False
+  pretrain_path: str = ""
+
+  # iterations & learning rates
+  n_iters: int = 300000
+  lrate_feature: float = 1e-3
+  lrate_mlp: float = 5e-4
+  lrate_decay_factor: float = 0.5
+  lrate_decay_steps: int = 50000
+
+  # loss weights
+  w_cycle: float = 0.1
+  w_distortion: float = 1e-3
+  w_entropy: float = 0.0
+  w_disp: float = 5e-2
+  w_flow: float = 5e-3
+  w_skew_entropy: float = 1e-3
+  w_reg: float = 0.05
+  occ_weights_mode: int = 0
+
+  # rendering options
+  N_samples: int = 64
+  N_importance: int = 64
+  inv_uniform: bool = False
+  input_dir: bool = False
+  input_xyz: bool = False
+  det: bool = False
+  white_bkgd: bool = False
+  render_stride: int = 1
+
+  # logging
+  i_print: int = 100
+  i_img: int = 1000
+  i_weights: int = 10000
+
+  # derived at runtime (reference train.py:91-92)
+  num_frames: int = 0
+
+  # TPU-specific additions (no reference analog)
+  mesh_shape: str = "auto"        # e.g. "8" or "auto"
+  compute_dtype: str = "float32"  # "bfloat16" for the aggregation MLPs
+  donate_buffers: bool = True
+
+  @classmethod
+  def from_file(cls, path: str, **overrides) -> "DynibarConfig":
+    """Read a reference-style ``key = value`` config file."""
+    values = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    with open(path) as fh:
+      for line in fh:
+        line = line.split("#", 1)[0].strip()
+        if not line or "=" not in line:
+          # configargparse also supports bare flags ("inv_uniform")
+          key = line.strip()
+          if key in fields and fields[key].type in ("bool", bool):
+            values[key] = True
+          continue
+        key, raw = (tok.strip() for tok in line.split("=", 1))
+        if key not in fields:
+          continue
+        ftype = fields[key].type
+        if isinstance(ftype, str):
+          ftype = {"bool": bool, "int": int, "float": float, "str": str,
+                   "List[str]": List[str], "Optional[str]": str}.get(ftype, str)
+        values[key] = _parse_value(ftype, raw)
+    values.update(overrides)
+    return cls(**values)
+
+  def experiment_name(self) -> str:
+    """Auto-embed hyperparams in expname (reference train.py:50-57)."""
+    return (
+        f"{self.expname}_mr-{self.max_range}"
+        f"_w-disp-{self.w_disp:.3f}_w-flow-{self.w_flow:.3f}"
+        f"_anneal_cycle-{self.w_cycle:.1f}-{self.cycle_factor:.1f}"
+        f"-w_mode-{self.occ_weights_mode}"
+    )
+
+  def out_folder(self) -> str:
+    return os.path.join(self.rootdir, "out", self.experiment_name())
+
+  def render_settings(self, mode: str = "mono") -> "RenderSettings":
+    if mode == "mono":
+      num_dy = 6 + self.num_vv
+      num_anchor = 7 + self.num_vv  # <=6 real + occasional identity + vv
+      num_static = 2 * self.num_source_views
+    else:  # forward-facing Nvidia benchmark
+      num_dy = 7
+      num_anchor = 0
+      num_static = 11
+    return RenderSettings(
+        n_samples=self.N_samples,
+        n_importance=self.N_importance if mode == "ff" else 0,
+        num_views_dy=num_dy,
+        num_views_anchor=num_anchor,
+        num_views_static=num_static,
+        num_vv=self.num_vv if mode == "mono" else 0,
+        num_basis=self.num_basis,
+        inv_uniform=self.inv_uniform,
+        occ_weights_mode=self.occ_weights_mode,
+        anti_alias_pooling=bool(self.anti_alias_pooling),
+        mask_rgb=bool(self.mask_rgb),
+        coarse_feat_dim=self.coarse_feat_dim,
+        fine_feat_dim=self.fine_feat_dim,
+        mono_time_diff=(mode == "mono"),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+  """Static (compile-time) parameters of the jitted render core.
+
+  Hashable so it can be a `static_argnums` argument of `jax.jit`.
+  """
+
+  n_samples: int = 64
+  n_importance: int = 0
+  num_views_dy: int = 9
+  num_views_anchor: int = 10
+  num_views_static: int = 14
+  num_vv: int = 3
+  num_basis: int = 6
+  inv_uniform: bool = False
+  occ_weights_mode: int = 0
+  anti_alias_pooling: bool = True
+  mask_rgb: bool = True
+  coarse_feat_dim: int = 32
+  fine_feat_dim: int = 32
+  # mono passes raw frame offsets as time_diff; ff divides by num_frames
+  # (reference render_ray.py:1027-1032 vs :742-744)
+  mono_time_diff: bool = True
+  # trajectory offsets window [-3..3] (reference render_ray.py:971)
+  traj_window: int = 3
+
+  @property
+  def num_offsets(self) -> int:
+    return 2 * self.traj_window + 1

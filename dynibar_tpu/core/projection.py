@@ -1,0 +1,151 @@
+"""Epipolar projection of 3D sample points into source views.
+
+Rebuild of the reference ``Projector`` (ibrnet/projection.py:7-176) as pure
+functions batched over views with fixed shapes.  The bilinear image/feature
+gather lives in :mod:`dynibar_tpu.ops.grid_sample`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynibar_tpu.core import cameras as cam
+from dynibar_tpu.ops.grid_sample import bilinear_sample_views
+
+
+def project_points(
+    xyz: jnp.ndarray,            # [V, R, S, 3] (already per-view displaced)
+    src_cameras: jnp.ndarray,    # [V, 34]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """World points -> pixel locations in each source view.
+
+  Parity with reference projection.py:32-59 (clamped perspective divide,
+  in-front mask from positive depth).
+
+  Returns (pixel_xy [V,R,S,2], in_front [V,R,S]).
+  """
+  _, _, k, c2w = cam.split_camera(src_cameras)
+  w2c = cam.invert_pose(c2w)                       # [V,4,4]
+  proj_mat = jnp.einsum("vij,vjk->vik", k, w2c,
+                        precision=cam.HIGHEST)     # [V,4,4]
+  xyz_h = jnp.concatenate([xyz, jnp.ones_like(xyz[..., :1])], axis=-1)
+  proj = jnp.einsum("vij,vrsj->vrsi", proj_mat, xyz_h,
+                    precision=cam.HIGHEST)         # [V,R,S,4]
+  z = jnp.maximum(proj[..., 2:3], 1e-8)
+  pix = proj[..., :2] / z
+  pix = jnp.clip(pix, -1e6, 1e6)
+  in_front = proj[..., 2] > 0
+  return pix, in_front
+
+
+def inbound_mask(pixel_xy: jnp.ndarray, h: jnp.ndarray, w: jnp.ndarray
+                 ) -> jnp.ndarray:
+  """Valid-pixel mask (reference projection.py:13-20)."""
+  x, y = pixel_xy[..., 0], pixel_xy[..., 1]
+  return (x >= 0) & (x <= w - 1.0) & (y >= 0) & (y <= h - 1.0)
+
+
+def ray_angle_features(
+    xyz_st: jnp.ndarray,        # [R, S, 3] reference (undisplaced) points
+    xyz: jnp.ndarray,           # [V, R, S, 3] displaced points
+    query_camera: jnp.ndarray,  # [34]
+    src_cameras: jnp.ndarray,   # [V, 34]
+) -> jnp.ndarray:
+  """Viewing-angle difference feature (reference projection.py:61-101).
+
+  Direction from the *undisplaced* point to the target camera vs direction
+  from the *displaced* point to each source camera:
+  [normalized(diff)_xyz, dot] -> [V, R, S, 4], stop-gradient applied by the
+  caller (the reference `.detach()`es this).
+  """
+  _, _, _, q_c2w = cam.split_camera(query_camera)
+  _, _, _, s_c2w = cam.split_camera(src_cameras)
+  tar_pos = q_c2w[:3, 3]                     # [3]
+  src_pos = s_c2w[:, :3, 3]                  # [V,3]
+
+  def _norm(v):
+    # torch.nn.functional.normalize semantics: v / max(||v||, 1e-12)
+    return v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+  ray2tar = _norm(tar_pos[None, None, None, :] - xyz_st[None])   # [1,R,S,3]
+  ray2src = _norm(src_pos[:, None, None, :] - xyz)               # [V,R,S,3]
+  diff = ray2tar - ray2src
+  dot = jnp.sum(ray2tar * ray2src, axis=-1, keepdims=True)
+  diff_dir = _norm(diff)
+  return jnp.concatenate([diff_dir, dot], axis=-1)               # [V,R,S,4]
+
+
+def compute_with_motions(
+    xyz_st: jnp.ndarray,        # [R, S, 3]
+    xyz: jnp.ndarray,           # [V, R, S, 3]
+    query_camera: jnp.ndarray,  # [34]
+    src_rgbs: jnp.ndarray,      # [V, H, W, 3]
+    src_cameras: jnp.ndarray,   # [V, 34]
+    featmaps: jnp.ndarray,      # [V, Hf, Wf, C]
+    view_valid: jnp.ndarray,    # [V] 0/1 padding mask
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Project, gather RGB+features, compute angle features and masks.
+
+  Parity with reference projection.py:103-176 with one extension: a per-view
+  validity mask folds padded views out of the aggregation (ragged view counts
+  become pad-to-max; see SURVEY.md §7 "Ragged view counts").
+
+  Returns:
+    rgb_feat [R, S, V, 3+C], ray_diff [R, S, V, 4], mask [R, S, V, 1].
+  """
+  v, r, s, _ = xyz.shape
+  h = src_cameras[0, 0]
+  w = src_cameras[0, 1]
+
+  pixel_xy, in_front = project_points(xyz, src_cameras)          # [V,R,S,2]
+
+  # normalized coords in [-1, 1] (align_corners=True convention) are shared
+  # between the RGB image and the (lower-resolution) feature map
+  resize = jnp.stack([w - 1.0, h - 1.0])
+  grid = 2.0 * pixel_xy / resize - 1.0                           # [V,R,S,2]
+  grid_flat = grid.reshape(v, r * s, 2)
+
+  rgbs = bilinear_sample_views(src_rgbs, grid_flat)              # [V,R*S,3]
+  feats = bilinear_sample_views(featmaps, grid_flat)             # [V,R*S,C]
+  rgb_feat = jnp.concatenate([rgbs, feats], axis=-1).reshape(v, r, s, -1)
+
+  mask = (inbound_mask(pixel_xy, h, w) & in_front)               # [V,R,S]
+  mask = mask & (view_valid[:, None, None] > 0)
+
+  # the reference detaches the angle feature (projection.py:169)
+  ray_diff = jax.lax.stop_gradient(
+      ray_angle_features(xyz_st, xyz, query_camera, src_cameras))
+
+  # reorder to [R, S, V, ...] like the reference's permute
+  rgb_feat = jnp.transpose(rgb_feat, (1, 2, 0, 3))
+  ray_diff = jnp.transpose(ray_diff, (1, 2, 0, 3))
+  mask = jnp.transpose(mask, (1, 2, 0)).astype(rgb_feat.dtype)[..., None]
+  return rgb_feat, ray_diff, mask
+
+
+def ref_plucker(ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> jnp.ndarray:
+  """Plücker coordinates of target rays (reference render_ray.py:372-377)."""
+  d = ray_d / jnp.maximum(
+      jnp.linalg.norm(ray_d, axis=-1, keepdims=True), 1e-12)
+  moment = jnp.cross(ray_o, d)
+  return jnp.concatenate([d, moment], axis=-1)                   # [R, 6]
+
+
+def src_plucker(pts: jnp.ndarray, src_cameras: jnp.ndarray) -> jnp.ndarray:
+  """Plücker coordinates of source->point rays (render_ray.py:380-396).
+
+  pts: [R, S, 3]; returns [R, S, V, 6].
+  """
+  _, _, _, c2w = cam.split_camera(src_cameras)
+  origins = c2w[:, :3, 3]                                        # [V,3]
+  ray = pts[None] - origins[:, None, None, :]                    # [V,R,S,3]
+  ray = ray / jnp.maximum(
+      jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-12)
+  o = jnp.broadcast_to(origins[:, None, None, :], ray.shape)
+  moment = jnp.cross(o, ray)
+  out = jnp.concatenate([ray, moment], axis=-1)                  # [V,R,S,6]
+  return jnp.transpose(out, (1, 2, 0, 3))

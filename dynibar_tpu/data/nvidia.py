@@ -1,0 +1,132 @@
+"""Nvidia Dynamic Scenes benchmark dataset (host side, eval).
+
+Rebuild of the in-script ``DynamicVideoDataset`` of the reference
+(eval_nvidia.py:24-198): the benchmark interleaves 12 fixed viewpoints in a
+round-robin over time; for a render frame it selects the 7 temporal source
+views (offsets -3..3) for the dynamic model and, for the static model, the
+per-viewpoint frame closest in time — skipping the viewpoint that coincides
+with the render index (11 static views).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dynibar_tpu.config import DynibarConfig, RenderSettings
+from dynibar_tpu.core.cameras import make_camera
+from dynibar_tpu.data import llff
+from dynibar_tpu.data.ray_batch import FF_SRC_OFFSETS
+
+NUM_VIEWPOINTS = 12
+
+
+def _imread_float(path: str) -> np.ndarray:
+  import imageio.v2 as imageio
+  return imageio.imread(path).astype(np.float32) / 255.0
+
+
+def nvidia_static_pose_ids(render_idx: int, num_frames: int) -> np.ndarray:
+  """Closest same-viewpoint frames, skipping the render viewpoint
+  (reference eval_nvidia.py:100-119)."""
+  groups = collections.defaultdict(list)
+  for i in range(num_frames):
+    if i % NUM_VIEWPOINTS == render_idx % NUM_VIEWPOINTS:
+      continue
+    groups[i % NUM_VIEWPOINTS].append(i)
+  ids = []
+  for key in groups:
+    arr = np.array(groups[key])
+    ids.append(int(arr[np.argmin(np.abs(arr - render_idx))]))
+  return np.sort(np.array(ids))
+
+
+class NvidiaSceneData:
+  """Scene-level benchmark data; emits per-(frame, viewpoint) eval batches."""
+
+  def __init__(self, config: DynibarConfig, scene: str,
+               cfg: Optional[RenderSettings] = None, height: int = 288):
+    self.config = config
+    self.cfg = cfg or config.render_settings("ff")
+    self.scene_path = os.path.join(config.folder_path, scene, "dense")
+    meta = llff.load_scene_poses(self.scene_path, height=height,
+                                 with_vv=False, num_avg_imgs=NUM_VIEWPOINTS)
+    self.rgb_files = meta["imgfiles"]
+    self.num_frames = len(self.rgb_files)
+    bds = meta["bds"]
+    near = float(np.min(bds))
+    far = float(np.max(bds)) + 15.0  # cover far content (eval_nvidia.py:48)
+    self.depth_range = np.array([near * 0.9, far * 1.5], np.float32)
+    self.intrinsics, self.c2w = llff.batch_parse_llff_poses(meta["poses"])
+
+  def _camera(self, idx: int, shape) -> np.ndarray:
+    return make_camera(shape[0], shape[1], self.intrinsics[idx],
+                       self.c2w[idx])
+
+  def gt_image_path(self, render_idx: int, viewpoint: int) -> str:
+    return os.path.join(self.scene_path, "mv_images", f"{render_idx:05d}",
+                        f"cam{viewpoint + 1:02d}.jpg")
+
+  def mask_path(self, render_idx: int, viewpoint: int) -> str:
+    return os.path.join(self.scene_path, "mv_masks", f"{render_idx:05d}",
+                        f"cam{viewpoint + 1:02d}.png")
+
+  def coarse_mask(self, idx: int, shape) -> np.ndarray:
+    """Motion mask used to hide dynamic content from the static sources
+    (reference eval_nvidia.py:156-169)."""
+    import cv2
+    if not (self.config.mask_static and 3 <= idx < self.num_frames - 3):
+      return np.ones(shape[:2], np.float32)
+    path = os.path.join(os.path.dirname(os.path.dirname(self.rgb_files[idx])),
+                        "coarse_masks", f"{idx:05d}.png")
+    m = _imread_float(path)
+    return cv2.resize(m, (shape[1], shape[0]),
+                      interpolation=cv2.INTER_NEAREST)
+
+  def eval_batch(self, render_idx: int, viewpoint: int) -> Dict[str, np.ndarray]:
+    """View-stack template + target camera for one benchmark render.
+
+    Per-ray fields are added by ``full_image_ray_batch``.
+    """
+    src_rgbs, src_cams, off_idx = [], [], []
+    for o in FF_SRC_OFFSETS:
+      i = render_idx + o
+      img = _imread_float(self.rgb_files[i])[..., :3]
+      src_rgbs.append(img)
+      src_cams.append(self._camera(i, img.shape))
+      off_idx.append(o + 3)
+
+    st_ids = nvidia_static_pose_ids(render_idx, self.num_frames)
+    st_rgbs, st_cams, st_masks, st_valid = [], [], [], []
+    for i in st_ids[: self.cfg.num_views_static]:
+      img = _imread_float(self.rgb_files[int(i)])[..., :3]
+      st_rgbs.append(img)
+      st_cams.append(self._camera(int(i), img.shape))
+      st_masks.append(self.coarse_mask(int(i), img.shape))
+      st_valid.append(1.0)
+    while len(st_rgbs) < self.cfg.num_views_static:
+      st_rgbs.append(np.zeros_like(st_rgbs[0]))
+      st_cams.append(st_cams[0])
+      st_masks.append(np.ones_like(st_masks[0]))
+      st_valid.append(0.0)
+
+    h, w = src_rgbs[0].shape[:2]
+    return {
+        "camera": self._camera(viewpoint, (h, w)),
+        "depth_range": self.depth_range,
+        "ref_time": np.float32(render_idx / self.num_frames),
+        "anchor_time": np.float32(0.0),
+        "ref_frame_idx": np.int32(render_idx),
+        "anchor_frame_idx": np.int32(render_idx),
+        "src_rgbs": np.stack(src_rgbs),
+        "src_cameras": np.stack(src_cams),
+        "src_offset_idx": np.array(off_idx, np.int32),
+        "src_valid": np.ones(len(src_rgbs), np.float32),
+        "static_src_rgbs": np.stack(st_rgbs),
+        "static_src_cameras": np.stack(st_cams),
+        "static_src_masks": np.stack(st_masks),
+        "static_valid": np.array(st_valid, np.float32),
+    }

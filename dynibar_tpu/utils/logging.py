@@ -1,0 +1,48 @@
+"""Metrics / image logging.
+
+TensorBoard when available (torch.utils.tensorboard is in the image),
+JSONL fallback otherwise — rebuilds the reference's SummaryWriter usage
+(train.py:106-108, 458-472, 576-762) without a hard torch dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+  def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    os.makedirs(log_dir, exist_ok=True)
+    self._tb = None
+    if use_tensorboard:
+      try:
+        from torch.utils.tensorboard import SummaryWriter
+        self._tb = SummaryWriter(log_dir)
+      except Exception:
+        self._tb = None
+    self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+  def scalars(self, step: int, values: Dict[str, float], prefix: str = ""):
+    rec = {"step": step, "time": time.time()}
+    for k, v in values.items():
+      rec[prefix + k] = float(v)
+      if self._tb is not None:
+        self._tb.add_scalar(prefix + k, float(v), step)
+    self._jsonl.write(json.dumps(rec) + "\n")
+    self._jsonl.flush()
+
+  def image(self, step: int, tag: str, img_hwc: np.ndarray):
+    """img_hwc float [H, W, 3] in [0, 1]."""
+    if self._tb is not None:
+      self._tb.add_image(tag, np.clip(img_hwc, 0, 1),
+                         step, dataformats="HWC")
+
+  def close(self):
+    if self._tb is not None:
+      self._tb.close()
+    self._jsonl.close()

@@ -1,0 +1,25 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The environment pins JAX_PLATFORMS=axon (remote TPU tunnel); tests must run
+on the local CPU backend with 8 virtual devices so mesh-sharded code is
+testable without TPU hardware (SURVEY.md §4).  XLA_FLAGS must be set before
+jax initializes a backend; the platform override goes through jax.config
+because the axon plugin wins the env-var race otherwise.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+# persist compiled executables across pytest runs (single-core compiles)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_dynibar_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.device_count() >= 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,109 @@
+"""Train-step and multi-device sharding tests (virtual 8-device CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dynibar_tpu.config import DynibarConfig, RenderSettings
+from dynibar_tpu.data.ray_batch import synthetic_mono_batch
+from dynibar_tpu.models.dynibar import MonoModel
+from dynibar_tpu.parallel.mesh import make_mesh, replicate, shard_ray_batch
+from dynibar_tpu.train.losses import schedule_weights
+from dynibar_tpu.train.trainer import (create_train_state, make_train_step,
+                                       make_mono_optimizer, steplr_schedule,
+                                       _lr_cap_exponent)
+
+CFG = RenderSettings(n_samples=16, num_views_dy=9, num_views_anchor=10,
+                     num_views_static=6, num_vv=3, num_basis=4)
+
+
+@pytest.fixture(scope="module")
+def setup():
+  config = DynibarConfig(N_rand=16, N_samples=16, num_basis=4,
+                         init_decay_epoch=4)
+  model = MonoModel(cfg=CFG, num_frames=32)
+  state, tx = create_train_state(model, config, jax.random.PRNGKey(0))
+  rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
+      CFG, n_rays=16, h=32, w=48, num_frames=32).items()}
+  return config, model, state, tx, rb
+
+
+def test_train_step_decreases_nothing_nan(setup):
+  config, model, state, tx, rb = setup
+  step_fn = make_train_step(model, tx, CFG, donate=False)
+  weights = schedule_weights(config, epoch=0)
+  state2, metrics = step_fn(state, rb, weights, jax.random.PRNGKey(1))
+  for k, v in metrics.items():
+    assert np.isfinite(float(v)), f"{k} is not finite"
+  assert float(metrics["loss"]) > 0
+  assert int(state2.step) == 1
+  # params actually changed
+  diff = jax.tree_util.tree_reduce(
+      lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+      jax.tree_util.tree_map(
+          lambda a, b: a - b, state2.params["motion_mlp"],
+          state.params["motion_mlp"]), 0.0)
+  assert diff > 0
+
+
+def test_bootstrap_step_runs(setup):
+  config, model, state, tx, rb = setup
+  step_fn = make_train_step(model, tx, CFG, bootstrap=True, donate=False)
+  state2, metrics = step_fn(state, rb, None, jax.random.PRNGKey(2))
+  assert np.isfinite(float(metrics["loss"]))
+
+
+def test_loss_schedule_decays():
+  config = DynibarConfig(init_decay_epoch=10, w_disp=0.05, w_flow=0.005,
+                         decay_rate=10.0, anneal_cycle=True)
+  w0 = schedule_weights(config, epoch=0)
+  w1 = schedule_weights(config, epoch=25)  # divisor = 2
+  assert float(w1.w_disp) == pytest.approx(float(w0.w_disp) / 100.0)
+  assert float(w1.w_flow) == pytest.approx(float(w0.w_flow) / 100.0)
+  assert float(w1.dynamic_rgb_decay) == pytest.approx(0.01)
+  assert float(w0.use_dynamic_mask_rgb) == 1.0
+  assert float(w1.use_dynamic_mask_rgb) == 0.0
+  assert float(w1.w_cycle) > float(w0.w_cycle)  # anneal up
+
+
+def test_steplr_cap_matches_reference_freeze():
+  # group-0 lr = lrate_mlp*0.5; freeze once <= 5e-7 (train.py:469-471)
+  base = 4e-4 * 0.5
+  cap = _lr_cap_exponent(base, 0.5)
+  assert base * 0.5 ** cap <= 5e-7 < base * 0.5 ** (cap - 1)
+  sched = steplr_schedule(base, 0.5, 10, cap)
+  assert float(sched(0)) == pytest.approx(base)
+  assert float(sched(10)) == pytest.approx(base * 0.5)
+  assert float(sched(10_000_000)) == pytest.approx(base * 0.5 ** cap)
+
+
+def test_sharded_train_step_8_devices(setup):
+  config, model, state, tx, rb_unused = setup
+  assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+  mesh = make_mesh(jax.devices()[:8])
+  rb_host = synthetic_mono_batch(CFG, n_rays=16, h=32, w=48, num_frames=32)
+  step_fn = make_train_step(model, tx, CFG, donate=False)
+  with mesh:
+    state_r = replicate(mesh, state)
+    rb = shard_ray_batch(mesh, rb_host)
+    # per-ray arrays really live sharded across the mesh
+    assert len(rb["ray_o"].sharding.device_set) == 8
+    weights = schedule_weights(config, epoch=0)
+    state2, metrics = step_fn(state_r, rb, weights, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    # updated params stay replicated (grad all-reduce happened)
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert len(leaf.sharding.device_set) in (1, 8)
+
+
+def test_graft_entry_contract():
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      "__graft_entry__", "/root/repo/__graft_entry__.py")
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  fn, (params, rb) = mod.entry()
+  out = jax.jit(fn)(params, rb)
+  assert out.shape[-1] == 3
+  assert np.isfinite(np.asarray(out)).all()
