@@ -18,6 +18,7 @@ numbers, BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -32,13 +33,15 @@ def main():
   from dynibar_tpu.models.dynibar import FFModel
   from dynibar_tpu.render.render_rays import render_rays_mv
 
+  compute_dtype = os.environ.get("DYNIBAR_BENCH_DTYPE", "bfloat16")
+  chunk = int(os.environ.get("DYNIBAR_BENCH_CHUNK", "4096"))
+
   cfg = RenderSettings(
       n_samples=64, n_importance=64, num_views_dy=7, num_views_anchor=0,
-      num_views_static=11, num_vv=0, num_basis=6, inv_uniform=True)
+      num_views_static=11, num_vv=0, num_basis=6, inv_uniform=True,
+      compute_dtype=compute_dtype)
   model = FFModel(cfg=cfg, num_frames=48)
   params = model.init_params(jax.random.PRNGKey(0))
-
-  chunk = 2048  # rays per device program
   rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
       cfg, n_rays=chunk, h=288, w=512, num_frames=48).items()}
 

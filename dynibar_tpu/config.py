@@ -190,6 +190,7 @@ class DynibarConfig:
         coarse_feat_dim=self.coarse_feat_dim,
         fine_feat_dim=self.fine_feat_dim,
         mono_time_diff=(mode == "mono"),
+        compute_dtype=self.compute_dtype,
     )
 
 
@@ -218,6 +219,10 @@ class RenderSettings:
   mono_time_diff: bool = True
   # trajectory offsets window [-3..3] (reference render_ray.py:971)
   traj_window: int = 3
+  # "float32": full-precision matmuls (bit-parity with reference f32);
+  # "bfloat16": bf16 activations/weights in the aggregation MLPs — 1-pass
+  # MXU + half the HBM traffic; geometry stays f32 either way
+  compute_dtype: str = "float32"
 
   @property
   def num_offsets(self) -> int:

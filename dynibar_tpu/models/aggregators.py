@@ -12,7 +12,7 @@ Everything is expressed as dense [rays, samples, views, features] tensor work
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -51,6 +51,8 @@ class _VisPooling(nn.Module):
   weight [R,S,V,1]).
   """
 
+  dtype: Optional[Any] = None
+
   @nn.compact
   def __call__(self, rgb_feat, weight, mask):
     mean, var = weighted_mean_variance(rgb_feat, weight)
@@ -61,20 +63,22 @@ class _VisPooling(nn.Module):
                           globalfeat.shape[:2] + (num_views,)
                           + globalfeat.shape[3:]),
          rgb_feat], axis=-1)
-    x = MLP((256, 128), activate_final=True, name="base_fc")(x)
+    x = MLP((256, 128), activate_final=True, dtype=self.dtype,
+            name="base_fc")(x)
 
-    x_vis = MLP((128, 129), activate_final=True, name="vis_fc")(x * weight)
+    x_vis = MLP((128, 129), activate_final=True, dtype=self.dtype,
+                name="vis_fc")(x * weight)
     x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
     vis = jax.nn.sigmoid(vis) * mask
     x = x + x_res
-    vis_h = MLP((128, 1), name="vis_fc2")(x * vis)
+    vis_h = MLP((128, 1), dtype=self.dtype, name="vis_fc2")(x * vis)
     vis = jax.nn.sigmoid(vis_h) * mask
     weight = vis / (jnp.sum(vis, axis=2, keepdims=True) + 1e-8)
 
     mean, var = weighted_mean_variance(x, weight)
     globalfeat = jnp.concatenate(
         [mean[:, :, 0], var[:, :, 0], jnp.mean(weight, axis=2)], axis=-1)
-    globalfeat = MLP((256, 128), activate_final=True,
+    globalfeat = MLP((256, 128), activate_final=True, dtype=self.dtype,
                      name="geometry_fc")(globalfeat)
     return x, vis, globalfeat, weight
 
@@ -86,6 +90,7 @@ class DynamicAggregator(nn.Module):
   n_samples: int = 64
   shift: float = 0.0
   anti_alias_pooling: bool = False  # reference hard-codes False (:135)
+  compute_dtype: Optional[Any] = None  # bf16 mixed-precision mode
 
   @nn.compact
   def __call__(self, pts_xyz, rgb_feat, glb_ray_dir, ray_diff, time_diff,
@@ -95,41 +100,54 @@ class DynamicAggregator(nn.Module):
     forward never reads it)."""
     del time_diff
     num_views = rgb_feat.shape[2]
+    if self.compute_dtype is not None:
+      rgb_feat = rgb_feat.astype(self.compute_dtype)
+      mask = mask.astype(self.compute_dtype)
 
     time_pe = periodic_embed(time, max_freq=10, n_freq=10, linspace=False)
+    if self.compute_dtype is not None:
+      time_pe = time_pe.astype(self.compute_dtype)
     time_pe = jnp.broadcast_to(time_pe[:, :, None, :],
                                time_pe.shape[:2] + (num_views,)
                                + time_pe.shape[-1:])
     direction_feat = MLP((256, self.in_feat_ch + 3), activate_final=True,
-                         name="ray_dir_fc")(time_pe)
+                         dtype=self.compute_dtype, name="ray_dir_fc")(time_pe)
     rgb_feat = rgb_feat + direction_feat
 
     weight = _masked_view_weights(mask)
 
-    x, vis, globalfeat, weight = _VisPooling(name="vis_pooling")(
-        rgb_feat, weight, mask)
-    num_valid_obs = jnp.sum(mask, axis=2)                        # [R,S,1]
+    x, vis, globalfeat, weight = _VisPooling(
+        dtype=self.compute_dtype, name="vis_pooling")(rgb_feat, weight, mask)
+    num_valid_obs = jnp.sum(mask.astype(jnp.float32), axis=2)    # [R,S,1]
 
     globalfeat = globalfeat + jnp.asarray(
-        sample_axis_posenc(128, self.n_samples))[None]
-    globalfeat = RayTransformer(name="ray_attention")(
+        sample_axis_posenc(128, self.n_samples)).astype(globalfeat.dtype)[None]
+    globalfeat = RayTransformer(dtype=self.compute_dtype,
+                                name="ray_attention")(
         globalfeat, globalfeat, globalfeat,
-        mask=(num_valid_obs > 1).astype(globalfeat.dtype))
+        mask=(num_valid_obs > 1).astype(jnp.float32))
 
     pts_pe = periodic_embed(pts_xyz, max_freq=5, n_freq=5, linspace=False)
-    globalfeat = MLP((256, 128), activate_final=True, name="ref_pts_fc")(
+    pts_pe = pts_pe.astype(globalfeat.dtype)
+    globalfeat = MLP((256, 128), activate_final=True,
+                     dtype=self.compute_dtype, name="ref_pts_fc")(
         jnp.concatenate([globalfeat, pts_pe], axis=-1))
 
-    sigma = MLP((128, 1), name="out_geometry_fc")(globalfeat) - self.shift
+    sigma = (MLP((128, 1), dtype=self.compute_dtype,
+                 name="out_geometry_fc")(globalfeat).astype(jnp.float32)
+             - self.shift)
     sigma = jnp.where(num_valid_obs < 1, -1e9, sigma)            # [R,S,1]
 
     dir_pe = periodic_embed(glb_ray_dir, max_freq=4, n_freq=4, linspace=False)
+    dir_pe = dir_pe.astype(globalfeat.dtype)
     dir_pe = jnp.broadcast_to(dir_pe[:, None, :],
                               (dir_pe.shape[0], globalfeat.shape[1],
                                dir_pe.shape[-1]))
     h = jnp.concatenate([globalfeat, dir_pe], axis=-1)
-    rgb = jax.nn.sigmoid(MLP((128, 64, 3), name="rgb_fc")(h))
-    any_view = jnp.sum(mask, axis=2) > 0                         # [R,S,1]
+    rgb = jax.nn.sigmoid(
+        MLP((128, 64, 3), dtype=self.compute_dtype,
+            name="rgb_fc")(h)).astype(jnp.float32)
+    any_view = jnp.sum(mask.astype(jnp.float32), axis=2) > 0     # [R,S,1]
     rgb = jnp.where(any_view, rgb, 0.0)
     return jnp.concatenate([rgb, sigma], axis=-1)
 
@@ -141,6 +159,7 @@ class StaticAggregator(nn.Module):
   n_samples: int = 64
   anti_alias_pooling: bool = True
   mask_rgb: bool = True
+  compute_dtype: Optional[Any] = None  # bf16 mixed-precision mode
 
   @nn.compact
   def __call__(self, pts, ref_rays_coords, src_rays_coords, rgb_feat,
@@ -149,6 +168,7 @@ class StaticAggregator(nn.Module):
     rgb_feat [R,S,V,3+C]; ray_diff [R,S,V,4]; mask [R,S,V,1]."""
     del glb_ray_dir  # accepted for parity; reference never reads it
     r, s, num_views = rgb_feat.shape[:3]
+    dt = self.compute_dtype
 
     ref_rays_pe = periodic_embed(ref_rays_coords, max_freq=5, n_freq=5,
                                  linspace=False)                 # [R, 66]
@@ -156,6 +176,13 @@ class StaticAggregator(nn.Module):
                                  linspace=False)                 # [R,S,V,66]
     pts_pe = periodic_embed(pts, max_freq=5, n_freq=5,
                             linspace=False)                      # [R,S,33]
+    if dt is not None:
+      ref_rays_pe = ref_rays_pe.astype(dt)
+      src_rays_pe = src_rays_pe.astype(dt)
+      pts_pe = pts_pe.astype(dt)
+      rgb_feat = rgb_feat.astype(dt)
+      ray_diff = ray_diff.astype(dt)
+      mask = mask.astype(dt)
 
     ref_features = jnp.broadcast_to(
         ref_rays_pe[:, None, None, :], (r, s, num_views, ref_rays_pe.shape[-1]))
@@ -164,10 +191,10 @@ class StaticAggregator(nn.Module):
                           (r, s, num_views, pts_pe.shape[-1])),
          src_rays_pe], axis=-1)
 
-    src_feat = MLP((256, self.in_feat_ch + 3), name="ray_dir_fc")(
+    src_feat = MLP((256, self.in_feat_ch + 3), dtype=dt, name="ray_dir_fc")(
         jnp.concatenate([src_features, ray_diff], axis=-1))
-    ref_feat = TorchDense(self.in_feat_ch + 3, name="ref_feature_fc")(
-        ref_features)
+    ref_feat = TorchDense(self.in_feat_ch + 3, dtype=dt,
+                          name="ref_feature_fc")(ref_features)
 
     rgb_in = rgb_feat[..., :3]
     if self.mask_rgb:
@@ -181,27 +208,31 @@ class StaticAggregator(nn.Module):
 
     if self.anti_alias_pooling:
       s_param = self.param("s", nn.initializers.constant(0.2), ())
-      weight = _anti_alias_weights(ray_diff, mask, s_param)
+      weight = _anti_alias_weights(ray_diff, mask,
+                                   s_param.astype(ray_diff.dtype))
     else:
       weight = _masked_view_weights(mask)
 
-    x, vis, globalfeat, weight = _VisPooling(name="vis_pooling")(
-        rgb_feat, weight, mask)
-    num_valid_obs = jnp.sum(mask, axis=2)
+    x, vis, globalfeat, weight = _VisPooling(
+        dtype=dt, name="vis_pooling")(rgb_feat, weight, mask)
+    num_valid_obs = jnp.sum(mask.astype(jnp.float32), axis=2)
 
     # note: no sample-axis positional encoding here (reference :499)
-    globalfeat = RayTransformer(name="ray_attention")(
+    globalfeat = RayTransformer(dtype=dt, name="ray_attention")(
         globalfeat, globalfeat, globalfeat,
-        mask=(num_valid_obs > 1).astype(globalfeat.dtype))
-    sigma = MLP((128, 1), name="out_geometry_fc")(globalfeat)
+        mask=(num_valid_obs > 1).astype(jnp.float32))
+    sigma = MLP((128, 1), dtype=dt,
+                name="out_geometry_fc")(globalfeat).astype(jnp.float32)
     sigma = jnp.where(num_valid_obs < 1, -1e9, sigma)
 
     h = jnp.concatenate(
         [jnp.broadcast_to(globalfeat[:, :, None, :],
                           (r, s, num_views, globalfeat.shape[-1])),
          x, vis, ray_diff], axis=-1)
-    logits = MLP((128, 64, 1), name="rgb_fc")(h)
+    # blending logits: softmax over views in f32 for stable -1e9 masking
+    logits = MLP((128, 64, 1), dtype=dt,
+                 name="rgb_fc")(h).astype(jnp.float32)
     logits = jnp.where(mask == 0, -1e9, logits)
     blend = jax.nn.softmax(logits, axis=2)
-    rgb = jnp.sum(rgb_in * blend, axis=2)
+    rgb = jnp.sum(rgb_in.astype(jnp.float32) * blend, axis=2)
     return jnp.concatenate([rgb, sigma], axis=-1)

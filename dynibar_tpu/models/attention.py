@@ -10,6 +10,8 @@ are never masked.
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -22,6 +24,7 @@ class RayTransformer(nn.Module):
   d_model: int = 128
   d_k: int = 32
   d_v: int = 32
+  dtype: Optional[Any] = None  # bf16 projections; softmax always f32
 
   @nn.compact
   def __call__(self, q, k, v, mask=None):
@@ -29,25 +32,33 @@ class RayTransformer(nn.Module):
     b, lq, _ = q.shape
     residual = q
 
-    qh = TorchDense(self.n_head * self.d_k, use_bias=False, name="w_qs")(q)
-    kh = TorchDense(self.n_head * self.d_k, use_bias=False, name="w_ks")(k)
-    vh = TorchDense(self.n_head * self.d_v, use_bias=False, name="w_vs")(v)
+    qh = TorchDense(self.n_head * self.d_k, use_bias=False,
+                    dtype=self.dtype, name="w_qs")(q)
+    kh = TorchDense(self.n_head * self.d_k, use_bias=False,
+                    dtype=self.dtype, name="w_ks")(k)
+    vh = TorchDense(self.n_head * self.d_v, use_bias=False,
+                    dtype=self.dtype, name="w_vs")(v)
 
     qh = qh.reshape(b, lq, self.n_head, self.d_k).transpose(0, 2, 1, 3)
     kh = kh.reshape(b, -1, self.n_head, self.d_k).transpose(0, 2, 1, 3)
     vh = vh.reshape(b, -1, self.n_head, self.d_v).transpose(0, 2, 1, 3)
 
+    prec = (None if self.dtype is not None
+            else jax.lax.Precision.HIGHEST)
     attn = jnp.einsum("bhqd,bhkd->bhqk", qh / (self.d_k ** 0.5), kh,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=prec,
+                      preferred_element_type=jnp.float32)
     if mask is not None:
       # [B, L, 1] -> [B, 1, L, 1]: masks query rows, broadcast over keys
       m = mask[:, None, :, :]
       attn = jnp.where(m == 0, -1e9, attn)
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh,
-                     precision=jax.lax.Precision.HIGHEST)
+    if self.dtype is not None:
+      attn = attn.astype(self.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh, precision=prec)
     out = out.transpose(0, 2, 1, 3).reshape(b, lq, -1)
-    out = TorchDense(self.d_model, use_bias=False, name="fc")(out)
-    out = out + residual
+    out = TorchDense(self.d_model, use_bias=False, dtype=self.dtype,
+                     name="fc")(out)
+    out = out.astype(jnp.float32) + residual.astype(jnp.float32)
     out = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(out)
-    return out
+    return out if self.dtype is None else out.astype(self.dtype)

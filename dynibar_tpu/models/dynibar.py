@@ -24,12 +24,19 @@ from dynibar_tpu.models.motion_mlp import MotionMLP
 Params = Dict[str, Any]
 
 
+def _compute_dtype(cfg: RenderSettings):
+  return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 def _init_aggregators(cfg: RenderSettings, n_samples: int, shift: float):
+  dt = _compute_dtype(cfg)
   net_st = StaticAggregator(
       in_feat_ch=cfg.coarse_feat_dim, n_samples=n_samples,
-      anti_alias_pooling=cfg.anti_alias_pooling, mask_rgb=cfg.mask_rgb)
+      anti_alias_pooling=cfg.anti_alias_pooling, mask_rgb=cfg.mask_rgb,
+      compute_dtype=dt)
   net_dy = DynamicAggregator(
-      in_feat_ch=cfg.coarse_feat_dim, n_samples=n_samples, shift=shift)
+      in_feat_ch=cfg.coarse_feat_dim, n_samples=n_samples, shift=shift,
+      compute_dtype=dt)
   return net_st, net_dy
 
 
@@ -130,11 +137,13 @@ class FFModel:
   def _nets(self, fine: bool):
     n_total = self.cfg.n_samples + (self.cfg.n_importance if fine else 0)
     feat = self.cfg.fine_feat_dim if fine else self.cfg.coarse_feat_dim
+    dt = _compute_dtype(self.cfg)
     net_st = StaticAggregator(
         in_feat_ch=feat, n_samples=n_total,
         anti_alias_pooling=self.cfg.anti_alias_pooling,
-        mask_rgb=self.cfg.mask_rgb)
-    net_dy = DynamicAggregator(in_feat_ch=feat, n_samples=n_total, shift=0.0)
+        mask_rgb=self.cfg.mask_rgb, compute_dtype=dt)
+    net_dy = DynamicAggregator(in_feat_ch=feat, n_samples=n_total, shift=0.0,
+                               compute_dtype=dt)
     return net_st, net_dy
 
   @property

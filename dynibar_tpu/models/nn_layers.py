@@ -11,7 +11,7 @@ helper at mlp_network.py:107-112 is defined but never applied.)
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -31,10 +31,17 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 
 class TorchDense(nn.Module):
-  """nn.Linear with torch default init. Kernel layout [in, out]."""
+  """nn.Linear with torch default init. Kernel layout [in, out].
+
+  ``dtype`` selects the compute dtype: None keeps f32 activations with
+  full-precision (6-pass) MXU matmuls for bit-parity; ``jnp.bfloat16`` casts
+  activations+weights to bf16 (1-pass MXU, half the HBM traffic) with f32
+  accumulation — the deliberate mixed-precision mode.  Params stay f32.
+  """
 
   features: int
   use_bias: bool = True
+  dtype: Optional[Any] = None
 
   @nn.compact
   def __call__(self, x):
@@ -42,10 +49,14 @@ class TorchDense(nn.Module):
     bound = 1.0 / math.sqrt(fan_in)
     kernel = self.param("kernel", _uniform_bound(bound),
                         (fan_in, self.features))
-    y = jnp.matmul(x, kernel, precision=HIGHEST)
+    if self.dtype is not None:
+      y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype),
+                     preferred_element_type=self.dtype)
+    else:
+      y = jnp.matmul(x, kernel, precision=HIGHEST)
     if self.use_bias:
       bias = self.param("bias", _uniform_bound(bound), (self.features,))
-      y = y + bias
+      y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
     return y
 
 
@@ -56,11 +67,12 @@ class MLP(nn.Module):
   features: Sequence[int]
   activation: Callable = jax.nn.elu
   activate_final: bool = False
+  dtype: Optional[Any] = None
 
   @nn.compact
   def __call__(self, x):
     for i, f in enumerate(self.features):
-      x = TorchDense(f, name=f"dense_{i}")(x)
+      x = TorchDense(f, dtype=self.dtype, name=f"dense_{i}")(x)
       if i < len(self.features) - 1 or self.activate_final:
         x = self.activation(x)
     return x
