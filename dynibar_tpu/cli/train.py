@@ -146,6 +146,16 @@ def main():
                                    jax.device_get(state.params),
                                    jax.device_get(state.opt_state))
           print(f"saved checkpoint at {global_step}")
+
+        if global_step % config.i_img == 0:
+          # full-frame render panels (reference train.py:548-571)
+          from dynibar_tpu.train.view_logging import log_train_view
+          rb_host = {k: np.asarray(v) for k, v in rb.items()}
+          frame_idx = int(rb_host["ref_frame_idx"])
+          gt = data._load_rgb(frame_idx)
+          gt_disp = data._load_disp(frame_idx)
+          log_train_view(logger, global_step, model, state.params, rb_host,
+                         cfg, config.chunk_size, gt, gt_disp)
       epoch += 1
 
   ckpt_lib.save_checkpoint(out_folder, global_step,

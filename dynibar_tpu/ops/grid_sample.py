@@ -2,23 +2,25 @@
 
 This is the single most performance-critical primitive of the system
 (reference: ibrnet/projection.py:148-161 — the per-sample RGB + feature
-lookups over [views × rays × samples] points).  TPUs have no texture units
-and XLA has no grid_sample; we implement it as four gathers with per-corner
-zero-padding weights, matching
-``F.grid_sample(..., align_corners=True, padding_mode='zeros')`` bitwise for
-in-range points and in the zero-contribution convention for out-of-range
-corners.
+lookups over [views × rays × samples] points); ablation shows it dominates
+the render step.  TPUs have no texture units; the implementation gathers one
+2×2×C *patch* per point with a single ``lax.gather`` (x-corners are
+contiguous in memory, so each slice is 2 rows of 2·C contiguous elements)
+and blends corners on the VPU — 4× fewer gather ops than the naive
+four-corner formulation.
 
-Layout choice: channels-last [H, W, C] with a flattened [H*W, C] take along
-axis 0.  XLA lowers this to a dynamic-gather that keeps the C axis (lane
-dimension) contiguous — the right layout for VMEM tiles.  A fused Pallas
-gather (coords→DMA) is the planned upgrade; the interface is stable.
+Semantics match ``F.grid_sample(..., align_corners=True,
+padding_mode='zeros')``: in-range points interpolate exactly; out-of-range
+corners contribute zero.  Patch starts are clamped to stay in-bounds; the
+true corner is then re-selected inside the patch by its (clipped) offset,
+which is exact because every *valid* corner lies within the clamped patch.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def bilinear_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -30,7 +32,7 @@ def bilinear_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
           align_corners=True convention (-1 -> 0, +1 -> size-1).
 
   Returns:
-    [N, C] sampled values; out-of-range corners contribute zero.
+    [N, C] sampled values (img dtype); out-of-range corners contribute zero.
   """
   h, w, c = img.shape
   x = (grid[:, 0] + 1.0) * 0.5 * (w - 1)
@@ -38,24 +40,43 @@ def bilinear_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
 
   x0 = jnp.floor(x)
   y0 = jnp.floor(y)
-  x1 = x0 + 1.0
-  y1 = y0 + 1.0
-
   wx1 = x - x0
   wy1 = y - y0
   wx0 = 1.0 - wx1
   wy0 = 1.0 - wy1
 
-  def corner(xc, yc, wgt):
-    valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
-    xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
-    yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-    flat_idx = yi * w + xi
-    vals = jnp.take(img.reshape(h * w, c), flat_idx, axis=0)     # [N, C]
-    return vals * (wgt * valid.astype(img.dtype))[:, None]
+  # clamped patch starts (also guards the int cast against ±1e6 coords)
+  sx = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
+  sy = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
 
-  out = (corner(x0, y0, wx0 * wy0) + corner(x1, y0, wx1 * wy0)
-         + corner(x0, y1, wx0 * wy1) + corner(x1, y1, wx1 * wy1))
+  # one [2, 2, C] patch per point
+  starts = jnp.stack([sy, sx], axis=-1)                     # [N, 2]
+  dnums = lax.GatherDimensionNumbers(
+      offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+      start_index_map=(0, 1))
+  patches = lax.gather(img, starts, dnums, slice_sizes=(2, 2, c),
+                       mode=lax.GatherScatterMode.CLIP)     # [N, 2, 2, C]
+
+  # corner -> position inside the (possibly shifted) patch + validity
+  def corner(xc, yc, wgt):
+    valid = ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1))
+    ox = jnp.clip(xc.astype(jnp.int32) - sx, 0, 1).astype(img.dtype)
+    oy = jnp.clip(yc.astype(jnp.int32) - sy, 0, 1).astype(img.dtype)
+    wgt = (wgt * valid).astype(img.dtype)
+    # distribute this corner's weight onto the patch cell it maps to
+    return (wgt * (1 - oy) * (1 - ox), wgt * (1 - oy) * ox,
+            wgt * oy * (1 - ox), wgt * oy * ox)
+
+  w00 = corner(x0, y0, wx0 * wy0)
+  w01 = corner(x0 + 1, y0, wx1 * wy0)
+  w10 = corner(x0, y0 + 1, wx0 * wy1)
+  w11 = corner(x0 + 1, y0 + 1, wx1 * wy1)
+  cell = [sum(ws) for ws in zip(w00, w01, w10, w11)]        # 4 × [N]
+
+  out = (patches[:, 0, 0, :] * cell[0][:, None]
+         + patches[:, 0, 1, :] * cell[1][:, None]
+         + patches[:, 1, 0, :] * cell[2][:, None]
+         + patches[:, 1, 1, :] * cell[3][:, None])
   return out
 
 

@@ -36,6 +36,15 @@ def _normalize(v):
   return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
 
+def _sampling_cast(cfg: RenderSettings, imgs, feats):
+  """In bf16 mode, sample images/features in bf16 — halves the bytes moved
+  by the gather, which dominates the render step (see ops/grid_sample.py).
+  Projection/masks stay f32; the aggregators consume bf16 anyway."""
+  if cfg.compute_dtype == "bfloat16":
+    return imgs.astype(jnp.bfloat16), feats.astype(jnp.bfloat16)
+  return imgs, feats
+
+
 def _broadcast_time(t: jnp.ndarray, n_rays: int, n_samples: int):
   return jnp.broadcast_to(jnp.reshape(t, (1, 1, 1)), (n_rays, n_samples, 1))
 
@@ -101,12 +110,14 @@ def render_rays_mono(
   pts_3d_static = jnp.broadcast_to(
       pts_ref[None], (cfg.num_views_static,) + pts_ref.shape)
 
+  src_imgs, src_feats = _sampling_cast(cfg, rb["src_rgbs"], featmaps[0])
+  st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
   rgb_feat_ref, ray_diff_ref, mask_ref = proj.compute_with_motions(
-      pts_ref, pts_3d_seq_ref, rb["camera"], rb["src_rgbs"],
-      rb["src_cameras"], featmaps[0], rb["src_valid"])
+      pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
+      rb["src_cameras"], src_feats, rb["src_valid"])
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
-      pts_ref, pts_3d_static, rb["camera"], rb["static_src_rgbs"],
-      rb["static_src_cameras"], featmaps[2], rb["static_valid"])
+      pts_ref, pts_3d_static, rb["camera"], st_imgs,
+      rb["static_src_cameras"], st_feats, rb["static_valid"])
 
   pixel_mask_ref = jnp.sum(mask_ref[..., 0], axis=2) > 1       # [R,S]
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
@@ -175,9 +186,10 @@ def render_rays_mono(
       + pts_ref[None])                                         # [Va,R,S,3]
   pts_traj_anchor = pts_3d_seq_anchor
 
+  a_imgs, a_feats = _sampling_cast(cfg, rb["anchor_src_rgbs"], featmaps[1])
   rgb_feat_anchor, ray_diff_anchor, mask_anchor = proj.compute_with_motions(
-      pts_ref, pts_3d_seq_anchor, rb["camera"], rb["anchor_src_rgbs"],
-      rb["anchor_src_cameras"], featmaps[1], rb["anchor_valid"])
+      pts_ref, pts_3d_seq_anchor, rb["camera"], a_imgs,
+      rb["anchor_src_cameras"], a_feats, rb["anchor_valid"])
   # anchor pixel mask uses > 0 (reference render_ray.py:1198-1200)
   pixel_mask_anchor = jnp.sum(mask_anchor[..., 0], axis=2) > 0
 
@@ -239,12 +251,14 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
   pts_static = jnp.broadcast_to(
       pts[None], (cfg.num_views_static,) + pts.shape)
 
+  src_imgs, src_feats = _sampling_cast(cfg, rb["src_rgbs"], featmaps[0])
+  st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
   rgb_feat, ray_diff, mask = proj.compute_with_motions(
-      pts, pts_seq, rb["camera"], rb["src_rgbs"], rb["src_cameras"],
-      featmaps[0], rb["src_valid"])
+      pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
+      src_feats, rb["src_valid"])
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
-      pts, pts_static, rb["camera"], rb["static_src_rgbs"],
-      rb["static_src_cameras"], featmaps[2], rb["static_valid"])
+      pts, pts_static, rb["camera"], st_imgs,
+      rb["static_src_cameras"], st_feats, rb["static_valid"])
 
   pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
