@@ -19,7 +19,6 @@ import jax
 import numpy as np
 
 from dynibar_tpu.config import DynibarConfig
-from dynibar_tpu.data.monocular import MonocularSceneData
 from dynibar_tpu.data.pipeline import PrefetchPipeline
 from dynibar_tpu.models.dynibar import MonoModel
 from dynibar_tpu.train.losses import schedule_weights
@@ -64,8 +63,8 @@ def main():
   if not config.train_scenes:
     raise SystemExit("error: no training scene — pass --config <file> with "
                      "`train_scenes = <scene>` or --train_scenes <scene>")
-  scene = config.train_scenes[0]
-  data = MonocularSceneData(config, scene)
+  from dynibar_tpu.data.factory import create_training_dataset
+  data = create_training_dataset(config)
   config.num_frames = data.num_frames
   config.lrate_decay_steps = config.num_frames * config.init_decay_epoch
   cfg = config.render_settings("mono")
@@ -152,10 +151,18 @@ def main():
           from dynibar_tpu.train.view_logging import log_train_view
           rb_host = {k: np.asarray(v) for k, v in rb.items()}
           frame_idx = int(rb_host["ref_frame_idx"])
-          gt = data._load_rgb(frame_idx)
-          gt_disp = data._load_disp(frame_idx)
+          provider = getattr(data, "providers", [data])[0]
+          gt = provider._load_rgb(frame_idx)
+          gt_disp = provider._load_disp(frame_idx)
           log_train_view(logger, global_step, model, state.params, rb_host,
                          cfg, config.chunk_size, gt, gt_disp)
+
+      # one-shot pre-virtual-view snapshot (reference train.py:503-506)
+      if epoch + 1 == config.init_decay_epoch * 5:
+        ckpt_lib.save_checkpoint(out_folder, global_step,
+                                 jax.device_get(state.params),
+                                 jax.device_get(state.opt_state),
+                                 name="model_no-vv")
       epoch += 1
 
   ckpt_lib.save_checkpoint(out_folder, global_step,
