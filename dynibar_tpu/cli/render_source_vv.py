@@ -115,8 +115,15 @@ def main():
     all_vv_poses.append(np.stack(frame_poses))
     print(f"frame {idx}: wrote {args.num_vv} virtual views")
 
+  # reference file layout: [num_vv, 3, 4, num_frames] 3x4 poses in the *raw*
+  # LLFF column convention (render_source_vv.py:237-240) — the loader applies
+  # the [c1, -c0, c2] swap, so invert it here ([-c1, c0, c2]).
+  stacked = np.stack(all_vv_poses)[:, :, :3, :4]     # [N, num_vv, 3, 4]
+  stacked = np.concatenate(
+      [-stacked[:, :, :, 1:2], stacked[:, :, :, 0:1], stacked[:, :, :, 2:]],
+      axis=3)
   np.save(os.path.join(args.data_path, "source_vv_poses.npy"),
-          np.stack(all_vv_poses))
+          np.moveaxis(stacked, 0, -1).astype(np.float32))
   print("wrote source_vv_poses.npy")
 
 

@@ -223,15 +223,22 @@ def load_scene_poses(
 
   src_vv_poses = None
   if with_vv:
+    # file layout: [num_vv, 3, 4, num_frames] 3x4 c2w (no hwf column),
+    # written by the virtual-view preprocessor
+    # (reference render_source_vv.py:237-240)
     vv = np.load(os.path.join(basedir, "source_vv_poses.npy"))
+    # same LLFF->world column swap as the video poses
     vv = np.concatenate(
         [vv[:, :, 1:2, :], -vv[:, :, 0:1, :], vv[:, :, 2:, :]], 2)
-    vv = np.moveaxis(vv, -1, 0).astype(np.float32)
+    vv = np.moveaxis(vv, -1, 0).astype(np.float32)   # [N, num_vv, 3, 4]
     vv[..., :3, 3] *= scale
     if recenter:
       poses, src_vv_poses = recenter_poses_mono(poses, vv)
     else:
-      src_vv_poses = vv
+      # append hwf so downstream always sees 3x5 LLFF poses
+      hwf = np.broadcast_to(poses[:, None, :, 4:5],
+                            vv.shape[:2] + (3, 1))
+      src_vv_poses = np.concatenate([vv, hwf], axis=-1)
   elif recenter:
     poses = recenter_poses(poses)
 
