@@ -75,7 +75,8 @@ def main():
     json.dump({k: v for k, v in vars(config).items()}, fh, indent=2,
               default=str)
 
-  model = MonoModel(cfg=cfg, num_frames=data.num_frames)
+  model = MonoModel(cfg=cfg, num_frames=data.num_frames,
+                    remat=config.use_remat)
   state, tx = create_train_state(model, config, jax.random.PRNGKey(0))
 
   payload, start_step = ckpt_lib.resume_from(

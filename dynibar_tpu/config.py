@@ -128,6 +128,7 @@ class DynibarConfig:
   mesh_shape: str = "auto"        # e.g. "8" or "auto"
   compute_dtype: str = "float32"  # "bfloat16" for the aggregation MLPs
   donate_buffers: bool = True
+  use_remat: bool = True          # rematerialize nets in backward (training)
 
   @classmethod
   def from_file(cls, path: str, **overrides) -> "DynibarConfig":

@@ -64,6 +64,13 @@ class MonoModel:
   cfg: RenderSettings
   num_frames: int
   dy_shift: float = 5.0  # reference model.py:307
+  # rematerialize aggregator activations in the backward pass: trades one
+  # extra forward for O(1) stored residuals per network -> much larger
+  # N_rand fits in HBM during training
+  remat: bool = False
+
+  def _maybe_remat(self, fn):
+    return jax.checkpoint(fn) if self.remat else fn
 
   @property
   def net_coarse_st(self) -> StaticAggregator:
@@ -109,13 +116,16 @@ class MonoModel:
 
   # ---- apply helpers (closed over module defs, param subtree passed in) ----
   def apply_dy(self, params, *args):
-    return self.net_coarse_dy.apply({"params": params["net_coarse_dy"]}, *args)
+    fn = lambda p, *a: self.net_coarse_dy.apply({"params": p}, *a)
+    return self._maybe_remat(fn)(params["net_coarse_dy"], *args)
 
   def apply_st(self, params, *args):
-    return self.net_coarse_st.apply({"params": params["net_coarse_st"]}, *args)
+    fn = lambda p, *a: self.net_coarse_st.apply({"params": p}, *a)
+    return self._maybe_remat(fn)(params["net_coarse_st"], *args)
 
   def apply_motion(self, params, xyzt):
-    return self.motion_mlp.apply({"params": params["motion_mlp"]}, xyzt)
+    fn = lambda p, x: self.motion_mlp.apply({"params": p}, x)
+    return self._maybe_remat(fn)(params["motion_mlp"], xyzt)
 
   def apply_feature(self, params, imgs):
     return self.feature_net.apply({"params": params["feature_net"]}, imgs)

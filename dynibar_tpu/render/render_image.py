@@ -1,16 +1,21 @@
-"""Full-image rendering via ray chunking.
+"""Full-image rendering via ray chunking (single-chip or mesh-sharded).
 
 Rebuild of the reference's chunked render loop (ibrnet/render_image.py:9-439)
-with a TPU-first structure: feature maps are encoded **once**, the per-chunk
-render function is jit-compiled **once** (fixed chunk shape; the last chunk
-is padded, not truncated), and chunk outputs stay on device until the final
-reshape — the reference's per-chunk ``.cpu()`` transfer is exactly the
-host↔device ping-pong a TPU pipeline must avoid.
+with a TPU-first structure:
+
+  * feature maps are encoded once per frame, not per chunk;
+  * the per-chunk render function is jit-compiled once — rays are padded to
+    a whole number of fixed-shape chunks (the reference truncates instead);
+  * chunk outputs stay on device until the final reshape — the reference's
+    per-chunk ``.cpu()`` transfer is exactly the host↔device ping-pong a TPU
+    pipeline must avoid;
+  * multi-chip: per-ray arrays are reshaped to [n_chunks, chunk] and the
+    chunk axis is sharded over the mesh's ``data`` axis, so every device
+    renders a stripe of every chunk (the v5e-8 eval path, BASELINE.md).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -21,7 +26,7 @@ from dynibar_tpu.config import RenderSettings
 from dynibar_tpu.core.cameras import pixel_rays, split_camera
 from dynibar_tpu.render.render_rays import render_rays_mono, render_rays_mv
 
-# per-ray keys that get chunked; everything else is broadcast to every chunk
+# per-ray keys (axis 0 = rays); everything else is broadcast to every chunk
 _PER_RAY_KEYS = ("ray_o", "ray_d", "uv_grid", "rgb", "disp", "motion_mask",
                  "static_mask")
 _PER_RAY_AXIS1_KEYS = ("flows", "flow_masks")
@@ -49,112 +54,110 @@ def full_image_ray_batch(rb_template: Dict[str, Any], camera,
   return rb
 
 
-def _chunk(rb: Dict[str, Any], start: int, size: int) -> Dict[str, Any]:
+def _chunked_batches(rb: Dict[str, Any], chunk_size: int,
+                     mesh=None, axis_name: str = "data"):
+  """Pad rays to whole chunks, reshape per-ray arrays to [n_chunks, chunk],
+  optionally shard the chunk axis over the mesh.  Returns (rb', n_chunks,
+  n_rays)."""
+  n_rays = rb["ray_o"].shape[0]
+  if mesh is not None:
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    assert chunk_size % n_dev == 0, (
+        f"chunk_size {chunk_size} must divide by mesh size {n_dev}")
+  n_pad = (-n_rays) % chunk_size
+  out = dict(rb)
+  for k in _PER_RAY_KEYS:
+    if k in out:
+      pad = [(0, n_pad)] + [(0, 0)] * (out[k].ndim - 1)
+      v = jnp.pad(out[k], pad, mode="edge")
+      out[k] = v.reshape((-1, chunk_size) + v.shape[1:])
+  n_chunks = (n_rays + n_pad) // chunk_size
+  if mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    for k in out:
+      if k in _PER_RAY_KEYS:
+        spec = P(None, axis_name)
+      else:
+        spec = P()
+      out[k] = jax.device_put(out[k], NamedSharding(mesh, spec))
+  return out, n_chunks, n_rays
+
+
+def _run_chunks(render_chunk, params, rb_c, extra, n_chunks, n_rays):
+  outs = [render_chunk(params, rb_c, *extra, i) for i in range(n_chunks)]
+  return jax.tree_util.tree_map(
+      lambda *xs: np.concatenate([np.asarray(x) for x in xs],
+                                 axis=0)[:n_rays], *outs)
+
+
+def _take_chunk(rb_c: Dict[str, Any], i) -> Dict[str, Any]:
   out = {}
-  for k, v in rb.items():
-    if k in _PER_RAY_KEYS and k in rb:
-      out[k] = jax.lax.dynamic_slice_in_dim(v, start, size, axis=0)
-    elif k in _PER_RAY_AXIS1_KEYS:
-      out[k] = jax.lax.dynamic_slice_in_dim(v, start, size, axis=1)
-    else:
-      out[k] = v
+  for k, v in rb_c.items():
+    out[k] = v[i] if k in _PER_RAY_KEYS else v
   return out
+
+
+def _to_images(merged: Dict[str, Dict[str, np.ndarray]], height: int,
+               width: int) -> Dict[str, Dict[str, np.ndarray]]:
+  result = {}
+  for name, fields in merged.items():
+    imgs = {k: v.reshape((height, width) + v.shape[1:])
+            for k, v in fields.items()}
+    # zero rgb where no valid observations (reference render_image.py:384-411)
+    imgs["rgb"] = imgs["rgb"] * (imgs["mask"][..., None] > 0)
+    result[name] = imgs
+  return result
 
 
 def render_image_mono(model, params, rb: Dict[str, Any], featmaps,
                       cfg: RenderSettings, chunk_size: int,
-                      height: int, width: int,
-                      det: bool = True) -> Dict[str, Dict[str, np.ndarray]]:
+                      height: int, width: int, det: bool = True,
+                      mesh=None) -> Dict[str, Dict[str, np.ndarray]]:
   """Render a full target view with the monocular model.
 
   Returns {'outputs_coarse_ref': {...}, 'outputs_coarse_st': {...}} with
-  [H, W, ·] arrays; rgb is zeroed where the per-ray mask is empty
-  (reference render_image.py:384-411).
+  [H, W, ·] arrays.
   """
-  n_rays = rb["ray_o"].shape[0]
-  n_pad = (-n_rays) % chunk_size
-  rb_p = dict(rb)
-  for k in _PER_RAY_KEYS:
-    if k in rb_p:
-      pad = [(0, n_pad)] + [(0, 0)] * (rb_p[k].ndim - 1)
-      rb_p[k] = jnp.pad(rb_p[k], pad, mode="edge")
-  n_chunks = (n_rays + n_pad) // chunk_size
+  rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
 
   @jax.jit
-  def render_chunk(params, rb_chunked, featmaps, start):
-    chunk = _chunk(rb_chunked, start, chunk_size)
+  def render_chunk(params, rb_chunked, featmaps, i):
+    chunk = _take_chunk(rb_chunked, i)
     ret = render_rays_mono(model, params, chunk, featmaps, cfg,
                            is_train=False, det=det)
     keep = {}
     for name in ("outputs_coarse_ref", "outputs_coarse_st"):
       o = ret[name]
-      keep[name] = {
-          "rgb": o["rgb"], "depth": o["depth"],
-          "mask": o["mask"].astype(jnp.float32),
-      }
+      keep[name] = {"rgb": o["rgb"], "depth": o["depth"],
+                    "mask": o["mask"].astype(jnp.float32)}
       if "rgb_static" in o:
         keep[name]["rgb_static"] = o["rgb_static"]
         keep[name]["rgb_dy"] = o["rgb_dy"]
     return keep
 
-  outs = []
-  for i in range(n_chunks):
-    outs.append(render_chunk(params, rb_p, featmaps,
-                             jnp.int32(i * chunk_size)))
-  merged = jax.tree_util.tree_map(
-      lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0)[:n_rays],
-      *outs)
-
-  result = {}
-  for name, fields in merged.items():
-    imgs = {}
-    for k, v in fields.items():
-      imgs[k] = v.reshape((height, width) + v.shape[1:])
-    mask = imgs["mask"]
-    imgs["rgb"] = imgs["rgb"] * (mask[..., None] > 0)
-    result[name] = imgs
-  return result
+  merged = _run_chunks(render_chunk, params, rb_c, (featmaps,), n_chunks,
+                       n_rays)
+  return _to_images(merged, height, width)
 
 
 def render_image_ff(model, params, rb: Dict[str, Any], coarse_featmaps,
                     fine_featmaps, cfg: RenderSettings, chunk_size: int,
-                    height: int, width: int,
-                    det: bool = True) -> Dict[str, Dict[str, np.ndarray]]:
+                    height: int, width: int, det: bool = True,
+                    mesh=None) -> Dict[str, Dict[str, np.ndarray]]:
   """Render a full target view with the forward-facing (Nvidia) model."""
-  n_rays = rb["ray_o"].shape[0]
-  n_pad = (-n_rays) % chunk_size
-  rb_p = dict(rb)
-  for k in _PER_RAY_KEYS:
-    if k in rb_p:
-      pad = [(0, n_pad)] + [(0, 0)] * (rb_p[k].ndim - 1)
-      rb_p[k] = jnp.pad(rb_p[k], pad, mode="edge")
-  n_chunks = (n_rays + n_pad) // chunk_size
+  rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
 
   @jax.jit
-  def render_chunk(params, rb_chunked, cf, ff, start):
-    chunk = _chunk(rb_chunked, start, chunk_size)
+  def render_chunk(params, rb_chunked, cf, ff, i):
+    chunk = _take_chunk(rb_chunked, i)
     ret = render_rays_mv(model, params, chunk, cf, ff, cfg, det=det)
     keep = {}
     for name in ("outputs_coarse_ref", "outputs_fine_ref"):
       o = ret[name]
-      keep[name] = {
-          "rgb": o["rgb"], "depth": o["depth"],
-          "mask": o["mask"].astype(jnp.float32),
-      }
+      keep[name] = {"rgb": o["rgb"], "depth": o["depth"],
+                    "mask": o["mask"].astype(jnp.float32)}
     return keep
 
-  outs = []
-  for i in range(n_chunks):
-    outs.append(render_chunk(params, rb_p, coarse_featmaps, fine_featmaps,
-                             jnp.int32(i * chunk_size)))
-  merged = jax.tree_util.tree_map(
-      lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0)[:n_rays],
-      *outs)
-
-  result = {}
-  for name, fields in merged.items():
-    imgs = {k: v.reshape((height, width) + v.shape[1:])
-            for k, v in fields.items()}
-    imgs["rgb"] = imgs["rgb"] * (imgs["mask"][..., None] > 0)
-    result[name] = imgs
-  return result
+  merged = _run_chunks(render_chunk, params, rb_c,
+                       (coarse_featmaps, fine_featmaps), n_chunks, n_rays)
+  return _to_images(merged, height, width)
