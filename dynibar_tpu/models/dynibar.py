@@ -82,11 +82,13 @@ class MonoModel:
 
   @property
   def feature_net(self) -> FeatureNet:
-    return FeatureNet(self.cfg.coarse_feat_dim, self.cfg.fine_feat_dim)
+    return FeatureNet(self.cfg.coarse_feat_dim, self.cfg.fine_feat_dim,
+                      compute_dtype=_compute_dtype(self.cfg))
 
   @property
   def feature_net_st(self) -> FeatureNet:
-    return FeatureNet(self.cfg.coarse_feat_dim, self.cfg.fine_feat_dim)
+    return FeatureNet(self.cfg.coarse_feat_dim, self.cfg.fine_feat_dim,
+                      compute_dtype=_compute_dtype(self.cfg))
 
   @property
   def motion_mlp(self) -> MotionMLP:
@@ -158,7 +160,8 @@ class FFModel:
 
   @property
   def feature_net(self) -> FeatureNet:
-    return FeatureNet(self.cfg.coarse_feat_dim, self.cfg.fine_feat_dim)
+    return FeatureNet(self.cfg.coarse_feat_dim, self.cfg.fine_feat_dim,
+                      compute_dtype=_compute_dtype(self.cfg))
 
   @property
   def motion_mlp(self) -> MotionMLP:

@@ -79,22 +79,34 @@ class MLP(nn.Module):
 
 
 def reflect_pad_conv(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
-                     pad: int) -> jnp.ndarray:
+                     pad: int, dtype=None) -> jnp.ndarray:
   """2D conv with reflect padding, NHWC x HWIO."""
   if pad > 0:
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+  if dtype is not None:
+    # keep the output in `dtype` so the transposed convs of autodiff see
+    # uniform operand dtypes; InstanceNorm upcasts for statistics
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=(stride, stride), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
   return jax.lax.conv_general_dilated(
       x, kernel, window_strides=(stride, stride), padding="VALID",
       dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=HIGHEST)
 
 
 class TorchConv(nn.Module):
-  """nn.Conv2d with reflect padding and torch default init (NHWC)."""
+  """nn.Conv2d with reflect padding and torch default init (NHWC).
+
+  dtype=bf16 casts input+kernel to bf16 with f32 accumulation (fast MXU
+  path); None keeps full-precision f32 convs for bit-parity.
+  """
 
   features: int
   kernel_size: int
   stride: int = 1
   use_bias: bool = True
+  dtype: Optional[Any] = None
 
   @nn.compact
   def __call__(self, x):
@@ -104,7 +116,8 @@ class TorchConv(nn.Module):
     bound = 1.0 / math.sqrt(fan_in)
     kernel = self.param("kernel", _uniform_bound(bound),
                         (k, k, in_ch, self.features))
-    y = reflect_pad_conv(x, kernel, self.stride, (k - 1) // 2)
+    y = reflect_pad_conv(x, kernel, self.stride, (k - 1) // 2,
+                         dtype=self.dtype)
     if self.use_bias:
       bias = self.param("bias", _uniform_bound(bound), (self.features,))
       y = y + bias
@@ -124,7 +137,9 @@ class InstanceNorm(nn.Module):
     c = x.shape[-1]
     scale = self.param("scale", nn.initializers.ones, (c,))
     bias = self.param("bias", nn.initializers.zeros, (c,))
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-    return y * scale + bias
+    # statistics always in f32 (bf16 means over thousands of pixels drift)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+    return (y * scale + bias).astype(x.dtype)
