@@ -109,8 +109,12 @@ def compute_with_motions(
   grid = 2.0 * pixel_xy / resize - 1.0                           # [V,R,S,2]
   grid_flat = grid.reshape(v, r * s, 2)
 
-  rgbs = bilinear_sample_views(src_rgbs, grid_flat)              # [V,R*S,3]
-  feats = bilinear_sample_views(featmaps, grid_flat)             # [V,R*S,C]
+  # source images are data (no parameter gradient); feature maps are the
+  # feature net's output and need the image-gradient path
+  rgbs = bilinear_sample_views(src_rgbs, grid_flat,
+                               image_grad=False)                 # [V,R*S,3]
+  feats = bilinear_sample_views(featmaps, grid_flat,
+                                image_grad=True)                 # [V,R*S,C]
   rgb_feat = jnp.concatenate([rgbs, feats], axis=-1).reshape(v, r, s, -1)
 
   mask = (inbound_mask(pixel_xy, h, w) & in_front)               # [V,R,S]

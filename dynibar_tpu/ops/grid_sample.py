@@ -18,6 +18,8 @@ which is exact because every *valid* corner lies within the clamped patch.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -80,7 +82,152 @@ def bilinear_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
   return out
 
 
-def bilinear_sample_views(imgs: jnp.ndarray, grids: jnp.ndarray
-                          ) -> jnp.ndarray:
-  """Per-view batched sampling: imgs [V,H,W,C], grids [V,N,2] -> [V,N,C]."""
-  return jax.vmap(bilinear_sample)(imgs, grids)
+def _corner_terms(img_shape, grid):
+  """Shared geometry: starts, per-cell weights, corner weights/validity."""
+  h, w, _ = img_shape
+  x = (grid[:, 0] + 1.0) * 0.5 * (w - 1)
+  y = (grid[:, 1] + 1.0) * 0.5 * (h - 1)
+  x0 = jnp.floor(x)
+  y0 = jnp.floor(y)
+  wx1 = x - x0
+  wy1 = y - y0
+  sx = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
+  sy = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
+
+  corners = []
+  for dx, dy, wgt in (
+      (0, 0, (1 - wx1) * (1 - wy1)), (1, 0, wx1 * (1 - wy1)),
+      (0, 1, (1 - wx1) * wy1), (1, 1, wx1 * wy1)):
+    xc = x0 + dx
+    yc = y0 + dy
+    valid = ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+             ).astype(grid.dtype)
+    ox = jnp.clip(xc.astype(jnp.int32) - sx, 0, 1)
+    oy = jnp.clip(yc.astype(jnp.int32) - sy, 0, 1)
+    corners.append((wgt, valid, ox, oy))
+  return x0, y0, wx1, wy1, sx, sy, corners
+
+
+def _cell_weights(corners, dtype):
+  """4 corner weights -> 4 patch-cell weights [(w00, w01, w10, w11)]."""
+  cells = [0.0, 0.0, 0.0, 0.0]
+  for wgt, valid, ox, oy in corners:
+    wv = (wgt * valid).astype(dtype)
+    oxf = ox.astype(dtype)
+    oyf = oy.astype(dtype)
+    cells[0] = cells[0] + wv * (1 - oyf) * (1 - oxf)
+    cells[1] = cells[1] + wv * (1 - oyf) * oxf
+    cells[2] = cells[2] + wv * oyf * (1 - oxf)
+    cells[3] = cells[3] + wv * oyf * oxf
+  return cells
+
+
+def _gather_patches(img, sy, sx):
+  starts = jnp.stack([sy, sx], axis=-1)
+  dnums = lax.GatherDimensionNumbers(
+      offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+      start_index_map=(0, 1))
+  return lax.gather(img, starts, dnums, slice_sizes=(2, 2, img.shape[-1]),
+                    mode=lax.GatherScatterMode.CLIP)       # [N, 2, 2, C]
+
+
+def _scatter_as_matmul(contrib: jnp.ndarray, flat_idx: jnp.ndarray,
+                       hw: int, tile: int = 4096) -> jnp.ndarray:
+  """Σ_n onehot(idx_n) ⊗ contrib_n as tiled one-hot matmuls.
+
+  This is the featmap gradient of the sampler.  XLA's native scatter-add for
+  this pattern is catastrophically slow on TPU (97% of a training step);
+  9216-position feature maps make the dense one-hot matmul the fast path —
+  MXU FLOPs instead of serialized scatters.
+  """
+  n, c = contrib.shape
+  n_pad = (-n) % tile
+  contrib = jnp.pad(contrib, ((0, n_pad), (0, 0)))
+  # padded rows carry zero contribution; index value is irrelevant
+  flat_idx = jnp.pad(flat_idx, (0, n_pad))
+  contrib_t = contrib.reshape(-1, tile, c)
+  idx_t = flat_idx.reshape(-1, tile)
+  iota = jnp.arange(hw, dtype=flat_idx.dtype)
+
+  def body(acc, args):
+    c_t, i_t = args
+    onehot = (i_t[:, None] == iota[None, :]).astype(contrib.dtype)
+    acc = acc + jnp.einsum("th,tc->hc", onehot, c_t,
+                           preferred_element_type=jnp.float32)
+    return acc, None
+
+  acc, _ = lax.scan(body, jnp.zeros((hw, c), jnp.float32),
+                    (contrib_t, idx_t))
+  return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bilinear_sample_diff(img, grid, image_grad: bool):
+  return bilinear_sample(img, grid)
+
+
+def _bsd_fwd(img, grid, image_grad):
+  return bilinear_sample(img, grid), (img, grid)
+
+
+def _bsd_bwd(image_grad, res, cot):
+  """cot [N, C] -> (d_img [H,W,C], d_grid [N,2]).
+
+  d_grid is the standard bilinear spatial derivative (floor treated as
+  locally constant, exactly like torch grid_sample's backward); d_img is the
+  one-hot-matmul scatter above, skipped entirely when image_grad=False
+  (source *images* are data; only *feature maps* carry parameter gradients).
+  """
+  img, grid = res
+  h, w, c = img.shape
+  x0, y0, wx1, wy1, sx, sy, corners = _corner_terms(img.shape, grid)
+  patches = _gather_patches(img, sy, sx).astype(cot.dtype)  # [N,2,2,C]
+
+  # d_cell[ab] = <cot, patch[ab]>
+  d_cell = [jnp.sum(cot * patches[:, a, b, :], axis=-1)
+            for a, b in ((0, 0), (0, 1), (1, 0), (1, 1))]
+
+  # route each corner's weight-gradient from its cell
+  dwx1 = jnp.zeros_like(wx1)
+  dwy1 = jnp.zeros_like(wy1)
+  dwk_dx = (-(1 - wy1), (1 - wy1), -wy1, wy1)
+  dwk_dy = (-(1 - wx1), -wx1, (1 - wx1), wx1)
+  for k, (wgt, valid, ox, oy) in enumerate(corners):
+    oxf = ox.astype(cot.dtype)
+    oyf = oy.astype(cot.dtype)
+    d_wk = ((1 - oyf) * (1 - oxf) * d_cell[0]
+            + (1 - oyf) * oxf * d_cell[1]
+            + oyf * (1 - oxf) * d_cell[2]
+            + oyf * oxf * d_cell[3]) * valid
+    dwx1 = dwx1 + d_wk * dwk_dx[k]
+    dwy1 = dwy1 + d_wk * dwk_dy[k]
+  d_grid = jnp.stack([dwx1 * 0.5 * (w - 1), dwy1 * 0.5 * (h - 1)],
+                     axis=-1).astype(grid.dtype)
+
+  if image_grad:
+    cells = _cell_weights(corners, cot.dtype)
+    contribs = []
+    idxs = []
+    for k, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+      contribs.append(cot * cells[k][:, None])
+      idxs.append((sy + a) * w + (sx + b))
+    d_img = _scatter_as_matmul(jnp.concatenate(contribs, axis=0),
+                               jnp.concatenate(idxs, axis=0), h * w)
+    d_img = d_img.reshape(h, w, c).astype(img.dtype)
+  else:
+    d_img = jnp.zeros_like(img)
+  return d_img, d_grid
+
+
+_bilinear_sample_diff.defvjp(_bsd_fwd, _bsd_bwd)
+
+
+def bilinear_sample_views(imgs: jnp.ndarray, grids: jnp.ndarray,
+                          image_grad: bool = True) -> jnp.ndarray:
+  """Per-view batched sampling: imgs [V,H,W,C], grids [V,N,2] -> [V,N,C].
+
+  image_grad=False skips the (expensive) image-gradient scatter in the
+  backward pass — use for source *images*; feature maps keep the default.
+  """
+  return jax.vmap(lambda i, g: _bilinear_sample_diff(i, g, image_grad))(
+      imgs, grids)
