@@ -26,33 +26,56 @@ def main():
   ap.add_argument("--coarse_ckpt", type=str, default="")
   ap.add_argument("--fine_ckpt", type=str, default="")
   ap.add_argument("--lpips_weights_dir", type=str, default="")
+  ap.add_argument("--results_json", type=str, default="")
   known, _ = ap.parse_known_args()
   config = parse_config_args()
 
+  if not config.eval_scenes:
+    raise SystemExit("error: no eval scene — pass --eval_scenes <scene...> "
+                     "or a --config with `eval_scenes = ...`")
+
   from dynibar_tpu.data.nvidia import NvidiaSceneData
-  scene = config.eval_scenes[0]
-  data = NvidiaSceneData(config, scene)
-  config.num_frames = data.num_frames
-  cfg = config.render_settings("ff")
-  model = FFModel(cfg=cfg, num_frames=data.num_frames)
+  all_results = {}
+  for scene in config.eval_scenes:
+    data = NvidiaSceneData(config, scene)
+    config.num_frames = data.num_frames
+    cfg = config.render_settings("ff")
+    model = FFModel(cfg=cfg, num_frames=data.num_frames)
 
-  if known.coarse_ckpt and known.fine_ckpt:
-    from dynibar_tpu.utils.torch_convert import convert_ff_checkpoint
-    params = convert_ff_checkpoint(known.coarse_ckpt, known.fine_ckpt)
-    print("loaded converted torch checkpoints")
-  else:
-    payload, step = ckpt_lib.resume_from(config.out_folder(),
-                                         config.ckpt_path)
-    if payload is not None:
-      params = payload["params"]
-      print(f"resumed orbax checkpoint at step {step}")
+    if known.coarse_ckpt and known.fine_ckpt:
+      from dynibar_tpu.utils.torch_convert import convert_ff_checkpoint
+      params = convert_ff_checkpoint(known.coarse_ckpt, known.fine_ckpt)
+      print("loaded converted torch checkpoints")
     else:
-      params = model.init_params(jax.random.PRNGKey(0))
-      print("WARNING: no checkpoint found — evaluating random init")
+      payload, step = ckpt_lib.resume_from(config.out_folder(),
+                                           config.ckpt_path)
+      if payload is not None:
+        params = payload["params"]
+        print(f"resumed orbax checkpoint at step {step}")
+      else:
+        params = model.init_params(jax.random.PRNGKey(0))
+        print("WARNING: no checkpoint found — evaluating random init")
 
-  result = evaluate_scene(config, model, params, scene,
-                          lpips_weights_dir=known.lpips_weights_dir or None)
-  print(json.dumps(result, indent=2))
+    result = evaluate_scene(
+        config, model, params, scene,
+        lpips_weights_dir=known.lpips_weights_dir or None)
+    all_results[scene] = result
+    print(f"[{scene}] {json.dumps(result)}")
+
+  # cross-scene means (the paper-table aggregation)
+  if len(all_results) > 1:
+    agg = {}
+    for region in ("full", "dynamic", "static"):
+      agg[region] = {
+          m: float(sum(r[region][m] for r in all_results.values())
+                   / len(all_results))
+          for m in ("psnr", "ssim", "lpips")}
+    all_results["mean"] = agg
+  print(json.dumps(all_results, indent=2))
+  if known.results_json:
+    with open(known.results_json, "w") as fh:
+      json.dump(all_results, fh, indent=2)
+    print(f"wrote {known.results_json}")
 
 
 if __name__ == "__main__":

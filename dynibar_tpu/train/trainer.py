@@ -82,6 +82,34 @@ def make_mono_optimizer(config: DynibarConfig) -> optax.GradientTransformation:
       transforms, param_labels=lambda params: {k: k for k in params})
 
 
+def make_ff_optimizer(config: DynibarConfig) -> optax.GradientTransformation:
+  """Adam param groups for fine-stage (forward-facing) training
+  (reference model.py:106-118); coarse nets + basis stay frozen."""
+  gamma = config.lrate_decay_factor
+  steps = max(1, config.lrate_decay_steps)
+  cap = _lr_cap_exponent(config.lrate_mlp * config.lr_multipler, gamma)
+
+  def adam(lr):
+    return optax.adam(steplr_schedule(lr, gamma, steps, cap))
+
+  frozen = optax.set_to_zero()
+  transforms = {
+      "net_fine_st": adam(config.lrate_mlp * config.lr_multipler),
+      "net_fine_dy": adam(config.lrate_mlp),
+      "feature_net_fine": adam(config.lrate_feature),
+      "motion_mlp_fine": adam(config.lrate_mlp),
+      "traj_basis_fine": adam(config.lrate_mlp * 0.25),
+      # frozen coarse stage (loaded from coarse_dir)
+      "net_coarse_st": frozen,
+      "net_coarse_dy": frozen,
+      "feature_net": frozen,
+      "motion_mlp": frozen,
+      "traj_basis": frozen,
+  }
+  return optax.multi_transform(
+      transforms, param_labels=lambda params: {k: k for k in params})
+
+
 def create_train_state(model: MonoModel, config: DynibarConfig,
                        rng: jax.Array) -> Tuple[TrainState,
                                                 optax.GradientTransformation]:
