@@ -16,6 +16,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dynibar_tpu.config import DynibarConfig
@@ -79,14 +80,17 @@ def main():
                     remat=config.use_remat)
   state, tx = create_train_state(model, config, jax.random.PRNGKey(0))
 
+  template = {"params": jax.device_get(state.params),
+              "opt_state": jax.device_get(state.opt_state),
+              "step": np.int32(0)}
   payload, start_step = ckpt_lib.resume_from(
-      out_folder, config.ckpt_path, config.no_reload)
+      out_folder, config.ckpt_path, config.no_reload, template=template)
   if payload is not None:
     params = payload["params"]
-    opt_state = (payload.get("opt_state") if not config.no_load_opt
+    opt_state = (payload["opt_state"]
+                 if (not config.no_load_opt and "opt_state" in payload)
                  else state.opt_state)
-    state = TrainState(params, opt_state or state.opt_state,
-                       np.int32(start_step))
+    state = TrainState(params, opt_state, jnp.int32(start_step))
     print(f"resumed at step {start_step}")
 
   logger = MetricsLogger(os.path.join(config.rootdir, "logs",

@@ -58,15 +58,20 @@ def load_checkpoint(path: str, template: Any = None) -> Any:
 
 
 def resume_from(out_folder: str, ckpt_path: str = "",
-                no_reload: bool = False, name: str = "model"
-                ) -> Tuple[Optional[Any], int]:
+                no_reload: bool = False, name: str = "model",
+                template: Any = None) -> Tuple[Optional[Any], int]:
   """Auto-resume (reference model.py:468-500): explicit path wins, else the
-  newest snapshot in out_folder; returns (payload or None, start_step)."""
+  newest snapshot in out_folder; returns (payload or None, start_step).
+
+  Pass ``template`` (a payload-shaped pytree, e.g. {'params': ...,
+  'opt_state': ..., 'step': 0}) to restore *typed* pytrees — optax states
+  are namedtuples that a template-less restore would flatten to dicts.
+  """
   if no_reload:
     return None, 0
   path = ckpt_path if ckpt_path and os.path.exists(_abs(ckpt_path)) else (
       latest_checkpoint(out_folder, name))
   if path is None:
     return None, 0
-  payload = load_checkpoint(path)
+  payload = load_checkpoint(path, template)
   return payload, int(payload["step"])
