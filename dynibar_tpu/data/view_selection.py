@@ -57,8 +57,10 @@ def get_interval_pose_ids(tar_pose, ref_poses, tar_id=-1,
   sub_idx = original[::interval]
   dists = _pose_dists(tar_pose, sub_poses, angular_dist_method, scene_center)
   if tar_id >= 0:
+    # exclude the target frame if it survived the subsampling (tar_id is an
+    # index in the *original* sequence)
     dists = dists.copy()
-    dists[tar_id] = 1e3
+    dists[sub_idx == tar_id] = 1e3
   return sub_idx[np.argsort(dists)]
 
 
