@@ -129,6 +129,10 @@ class DynibarConfig:
   compute_dtype: str = "float32"  # "bfloat16" for the aggregation MLPs
   donate_buffers: bool = True
   use_remat: bool = True          # rematerialize nets in backward (training)
+  # speed mode: sample source RGB from the 1/4-res feature maps instead of
+  # full-res images — halves the (dominant) gather cost; deviates from the
+  # reference's full-res RGB lookup. Off by default.
+  fused_rgb_sampling: bool = False
 
   @classmethod
   def from_file(cls, path: str, **overrides) -> "DynibarConfig":
@@ -192,6 +196,7 @@ class DynibarConfig:
         fine_feat_dim=self.fine_feat_dim,
         mono_time_diff=(mode == "mono"),
         compute_dtype=self.compute_dtype,
+        fused_rgb_sampling=self.fused_rgb_sampling,
     )
 
 
@@ -224,6 +229,11 @@ class RenderSettings:
   # "bfloat16": bf16 activations/weights in the aggregation MLPs — 1-pass
   # MXU + half the HBM traffic; geometry stays f32 either way
   compute_dtype: str = "float32"
+  # opt-in speed mode: sample source RGB from the (1/4-res) feature maps
+  # instead of the full-res images — halves the gather count (the dominant
+  # eval cost) at the price of softer source colors. Deviates from the
+  # reference's full-res RGB lookup; off by default.
+  fused_rgb_sampling: bool = False
 
   @property
   def num_offsets(self) -> int:

@@ -87,12 +87,17 @@ def compute_with_motions(
     src_cameras: jnp.ndarray,   # [V, 34]
     featmaps: jnp.ndarray,      # [V, Hf, Wf, C]
     view_valid: jnp.ndarray,    # [V] 0/1 padding mask
+    fused_rgb: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """Project, gather RGB+features, compute angle features and masks.
 
   Parity with reference projection.py:103-176 with one extension: a per-view
   validity mask folds padded views out of the aggregation (ragged view counts
   become pad-to-max; see SURVEY.md §7 "Ragged view counts").
+
+  fused_rgb=True expects `featmaps` to carry the (downsampled) RGB as its
+  first 3 channels and skips the separate full-res image gather — the
+  opt-in speed mode (gathers dominate the render step).
 
   Returns:
     rgb_feat [R, S, V, 3+C], ray_diff [R, S, V, 4], mask [R, S, V, 1].
@@ -109,13 +114,18 @@ def compute_with_motions(
   grid = 2.0 * pixel_xy / resize - 1.0                           # [V,R,S,2]
   grid_flat = grid.reshape(v, r * s, 2)
 
-  # source images are data (no parameter gradient); feature maps are the
-  # feature net's output and need the image-gradient path
-  rgbs = bilinear_sample_views(src_rgbs, grid_flat,
-                               image_grad=False)                 # [V,R*S,3]
-  feats = bilinear_sample_views(featmaps, grid_flat,
-                                image_grad=True)                 # [V,R*S,C]
-  rgb_feat = jnp.concatenate([rgbs, feats], axis=-1).reshape(v, r, s, -1)
+  if fused_rgb:
+    rgb_feat = bilinear_sample_views(featmaps, grid_flat,
+                                     image_grad=True)            # [V,N,3+C]
+    rgb_feat = rgb_feat.reshape(v, r, s, -1)
+  else:
+    # source images are data (no parameter gradient); feature maps are the
+    # feature net's output and need the image-gradient path
+    rgbs = bilinear_sample_views(src_rgbs, grid_flat,
+                                 image_grad=False)               # [V,R*S,3]
+    feats = bilinear_sample_views(featmaps, grid_flat,
+                                  image_grad=True)               # [V,R*S,C]
+    rgb_feat = jnp.concatenate([rgbs, feats], axis=-1).reshape(v, r, s, -1)
 
   mask = (inbound_mask(pixel_xy, h, w) & in_front)               # [V,R,S]
   mask = mask & (view_valid[:, None, None] > 0)

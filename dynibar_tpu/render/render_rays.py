@@ -37,11 +37,21 @@ def _normalize(v):
 
 
 def _sampling_cast(cfg: RenderSettings, imgs, feats):
-  """In bf16 mode, sample images/features in bf16 — halves the bytes moved
-  by the gather, which dominates the render step (see ops/grid_sample.py).
+  """Prepare the sampling inputs.
+
+  bf16 mode samples images/features in bf16 — halves the bytes moved by the
+  gather, which dominates the render step (see ops/grid_sample.py);
+  fused_rgb_sampling additionally bakes a 1/4-res RGB into the featmap's
+  leading channels so one gather serves both (opt-in speed mode).
   Projection/masks stay f32; the aggregators consume bf16 anyway."""
   if cfg.compute_dtype == "bfloat16":
-    return imgs.astype(jnp.bfloat16), feats.astype(jnp.bfloat16)
+    imgs = imgs.astype(jnp.bfloat16)
+    feats = feats.astype(jnp.bfloat16)
+  if cfg.fused_rgb_sampling:
+    v, hf, wf, _ = feats.shape
+    small = jax.image.resize(
+        imgs, (v, hf, wf, imgs.shape[-1]), "bilinear").astype(feats.dtype)
+    feats = jnp.concatenate([small, feats], axis=-1)
   return imgs, feats
 
 
@@ -114,10 +124,12 @@ def render_rays_mono(
   st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
   rgb_feat_ref, ray_diff_ref, mask_ref = proj.compute_with_motions(
       pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
-      rb["src_cameras"], src_feats, rb["src_valid"])
+      rb["src_cameras"], src_feats, rb["src_valid"],
+      fused_rgb=cfg.fused_rgb_sampling)
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
       pts_ref, pts_3d_static, rb["camera"], st_imgs,
-      rb["static_src_cameras"], st_feats, rb["static_valid"])
+      rb["static_src_cameras"], st_feats, rb["static_valid"],
+      fused_rgb=cfg.fused_rgb_sampling)
 
   pixel_mask_ref = jnp.sum(mask_ref[..., 0], axis=2) > 1       # [R,S]
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
@@ -189,7 +201,8 @@ def render_rays_mono(
   a_imgs, a_feats = _sampling_cast(cfg, rb["anchor_src_rgbs"], featmaps[1])
   rgb_feat_anchor, ray_diff_anchor, mask_anchor = proj.compute_with_motions(
       pts_ref, pts_3d_seq_anchor, rb["camera"], a_imgs,
-      rb["anchor_src_cameras"], a_feats, rb["anchor_valid"])
+      rb["anchor_src_cameras"], a_feats, rb["anchor_valid"],
+      fused_rgb=cfg.fused_rgb_sampling)
   # anchor pixel mask uses > 0 (reference render_ray.py:1198-1200)
   pixel_mask_anchor = jnp.sum(mask_anchor[..., 0], axis=2) > 0
 
@@ -255,10 +268,11 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
   st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
   rgb_feat, ray_diff, mask = proj.compute_with_motions(
       pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
-      src_feats, rb["src_valid"])
+      src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling)
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
       pts, pts_static, rb["camera"], st_imgs,
-      rb["static_src_cameras"], st_feats, rb["static_valid"])
+      rb["static_src_cameras"], st_feats, rb["static_valid"],
+      fused_rgb=cfg.fused_rgb_sampling)
 
   pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
