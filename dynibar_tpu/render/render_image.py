@@ -16,6 +16,7 @@ with a TPU-first structure:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -109,17 +110,10 @@ def _to_images(merged: Dict[str, Dict[str, np.ndarray]], height: int,
   return result
 
 
-def render_image_mono(model, params, rb: Dict[str, Any], featmaps,
-                      cfg: RenderSettings, chunk_size: int,
-                      height: int, width: int, det: bool = True,
-                      mesh=None) -> Dict[str, Dict[str, np.ndarray]]:
-  """Render a full target view with the monocular model.
-
-  Returns {'outputs_coarse_ref': {...}, 'outputs_coarse_st': {...}} with
-  [H, W, ·] arrays.
-  """
-  rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
-
+# jitted chunk renderers are cached per (model, cfg, det): a fresh closure
+# per frame would retrace on every rendered image of an eval loop
+@functools.lru_cache(maxsize=16)
+def _mono_chunk_fn(model, cfg: RenderSettings, det: bool):
   @jax.jit
   def render_chunk(params, rb_chunked, featmaps, i):
     chunk = _take_chunk(rb_chunked, i)
@@ -134,7 +128,35 @@ def render_image_mono(model, params, rb: Dict[str, Any], featmaps,
         keep[name]["rgb_static"] = o["rgb_static"]
         keep[name]["rgb_dy"] = o["rgb_dy"]
     return keep
+  return render_chunk
 
+
+@functools.lru_cache(maxsize=16)
+def _ff_chunk_fn(model, cfg: RenderSettings, det: bool):
+  @jax.jit
+  def render_chunk(params, rb_chunked, cf, ff, i):
+    chunk = _take_chunk(rb_chunked, i)
+    ret = render_rays_mv(model, params, chunk, cf, ff, cfg, det=det)
+    keep = {}
+    for name in ("outputs_coarse_ref", "outputs_fine_ref"):
+      o = ret[name]
+      keep[name] = {"rgb": o["rgb"], "depth": o["depth"],
+                    "mask": o["mask"].astype(jnp.float32)}
+    return keep
+  return render_chunk
+
+
+def render_image_mono(model, params, rb: Dict[str, Any], featmaps,
+                      cfg: RenderSettings, chunk_size: int,
+                      height: int, width: int, det: bool = True,
+                      mesh=None) -> Dict[str, Dict[str, np.ndarray]]:
+  """Render a full target view with the monocular model.
+
+  Returns {'outputs_coarse_ref': {...}, 'outputs_coarse_st': {...}} with
+  [H, W, ·] arrays.
+  """
+  rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
+  render_chunk = _mono_chunk_fn(model, cfg, det)
   merged = _run_chunks(render_chunk, params, rb_c, (featmaps,), n_chunks,
                        n_rays)
   return _to_images(merged, height, width)
@@ -146,18 +168,7 @@ def render_image_ff(model, params, rb: Dict[str, Any], coarse_featmaps,
                     mesh=None) -> Dict[str, Dict[str, np.ndarray]]:
   """Render a full target view with the forward-facing (Nvidia) model."""
   rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
-
-  @jax.jit
-  def render_chunk(params, rb_chunked, cf, ff, i):
-    chunk = _take_chunk(rb_chunked, i)
-    ret = render_rays_mv(model, params, chunk, cf, ff, cfg, det=det)
-    keep = {}
-    for name in ("outputs_coarse_ref", "outputs_fine_ref"):
-      o = ret[name]
-      keep[name] = {"rgb": o["rgb"], "depth": o["depth"],
-                    "mask": o["mask"].astype(jnp.float32)}
-    return keep
-
+  render_chunk = _ff_chunk_fn(model, cfg, det)
   merged = _run_chunks(render_chunk, params, rb_c,
                        (coarse_featmaps, fine_featmaps), n_chunks, n_rays)
   return _to_images(merged, height, width)
