@@ -42,12 +42,19 @@ def basis_window(trajectory_basis: jnp.ndarray, frame_idx: jnp.ndarray,
                  window: int = 3) -> jnp.ndarray:
   """Rows [frame_idx-window .. frame_idx+window] of the [T, K] basis.
 
-  frame_idx is a traced int32 scalar; dataset guarantees
-  window <= frame_idx < T - window.
+  frame_idx is a traced int32 scalar.  Rows are gathered individually with
+  clamped indices so the window stays *aligned* even when frame_idx is
+  within `window` of the sequence ends (anchor frames can be — the
+  curriculum picks anchor_idx = ref_idx ± k with ref_idx >= 3, so
+  anchor_idx can reach 0).  A dynamic_slice would shift the whole window at
+  the boundary and silently evaluate every offset against wrong basis rows;
+  with per-row clamping only the out-of-range offsets (which the view and
+  pair validity masks already exclude) read a clamped row.
   """
-  k = trajectory_basis.shape[1]
-  return jax.lax.dynamic_slice(
-      trajectory_basis, (frame_idx - window, 0), (2 * window + 1, k))
+  t = trajectory_basis.shape[0]
+  offsets = jnp.arange(-window, window + 1, dtype=jnp.int32)
+  rows = jnp.clip(frame_idx.astype(jnp.int32) + offsets, 0, t - 1)
+  return jnp.take(trajectory_basis, rows, axis=0)
 
 
 def traj_points_window(raw_coeff: jnp.ndarray, basis_win: jnp.ndarray
