@@ -133,6 +133,12 @@ class DynibarConfig:
   # full-res images — halves the (dominant) gather cost; deviates from the
   # reference's full-res RGB lookup. Off by default.
   fused_rgb_sampling: bool = False
+  # speed mode: epipolar-strip feature sampling for eval/render (one strip
+  # gather per (ray, view) + MXU interpolation, ops/strip_sample.py);
+  # training always keeps the per-sample gather. Off by default.
+  strip_sampling: bool = False
+  strip_rows: int = 16
+  strip_cols: int = 64
 
   @classmethod
   def from_file(cls, path: str, **overrides) -> "DynibarConfig":
@@ -197,6 +203,9 @@ class DynibarConfig:
         mono_time_diff=(mode == "mono"),
         compute_dtype=self.compute_dtype,
         fused_rgb_sampling=self.fused_rgb_sampling,
+        strip_sampling=self.strip_sampling,
+        strip_rows=self.strip_rows,
+        strip_cols=self.strip_cols,
     )
 
 
@@ -234,6 +243,17 @@ class RenderSettings:
   # eval cost) at the price of softer source colors. Deviates from the
   # reference's full-res RGB lookup; off by default.
   fused_rgb_sampling: bool = False
+  # opt-in speed mode: epipolar-strip feature sampling (ops/strip_sample.py)
+  # — one [strip_rows, strip_cols, C] gather per (ray, view) plus an MXU
+  # one-hot interpolation instead of one gather descriptor per sample.
+  # Exact for samples whose epipolar segment fits the strip; the rare
+  # uncovered samples are masked out of the aggregation (same mechanism as
+  # out-of-frustum samples). Off by default; pairs well with
+  # fused_rgb_sampling (otherwise the full-res RGB lookup still pays one
+  # descriptor per sample).
+  strip_sampling: bool = False
+  strip_rows: int = 16
+  strip_cols: int = 64
 
   @property
   def num_offsets(self) -> int:

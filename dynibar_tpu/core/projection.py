@@ -7,13 +7,14 @@ gather lives in :mod:`dynibar_tpu.ops.grid_sample`.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from dynibar_tpu.core import cameras as cam
 from dynibar_tpu.ops.grid_sample import bilinear_sample_views
+from dynibar_tpu.ops.strip_sample import strip_sample_views
 
 
 def project_points(
@@ -88,6 +89,7 @@ def compute_with_motions(
     featmaps: jnp.ndarray,      # [V, Hf, Wf, C]
     view_valid: jnp.ndarray,    # [V] 0/1 padding mask
     fused_rgb: bool = False,
+    strip: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """Project, gather RGB+features, compute angle features and masks.
 
@@ -98,6 +100,11 @@ def compute_with_motions(
   fused_rgb=True expects `featmaps` to carry the (downsampled) RGB as its
   first 3 channels and skips the separate full-res image gather — the
   opt-in speed mode (gathers dominate the render step).
+
+  strip=(rows, cols) switches the feature-map lookup to epipolar-strip
+  sampling (ops/strip_sample.py) — one strip gather per (ray, view) instead
+  of one descriptor per sample; samples whose segment escapes the strip are
+  folded out through the validity mask.
 
   Returns:
     rgb_feat [R, S, V, 3+C], ray_diff [R, S, V, 4], mask [R, S, V, 1].
@@ -114,7 +121,18 @@ def compute_with_motions(
   grid = 2.0 * pixel_xy / resize - 1.0                           # [V,R,S,2]
   grid_flat = grid.reshape(v, r * s, 2)
 
-  if fused_rgb:
+  covered = None
+  if strip is not None:
+    feats, covered = strip_sample_views(featmaps, grid,
+                                        rows=strip[0], cols=strip[1])
+    if fused_rgb:
+      rgb_feat = feats                                           # [V,R,S,3+C]
+    else:
+      rgbs = bilinear_sample_views(src_rgbs, grid_flat,
+                                   image_grad=False)             # [V,R*S,3]
+      rgb_feat = jnp.concatenate(
+          [rgbs.reshape(v, r, s, -1), feats], axis=-1)
+  elif fused_rgb:
     rgb_feat = bilinear_sample_views(featmaps, grid_flat,
                                      image_grad=True)            # [V,N,3+C]
     rgb_feat = rgb_feat.reshape(v, r, s, -1)
@@ -129,6 +147,8 @@ def compute_with_motions(
 
   mask = (inbound_mask(pixel_xy, h, w) & in_front)               # [V,R,S]
   mask = mask & (view_valid[:, None, None] > 0)
+  if covered is not None:
+    mask = mask & covered
 
   # the reference detaches the angle feature (projection.py:169)
   ray_diff = jax.lax.stop_gradient(

@@ -59,6 +59,17 @@ def _broadcast_time(t: jnp.ndarray, n_rays: int, n_samples: int):
   return jnp.broadcast_to(jnp.reshape(t, (1, 1, 1)), (n_rays, n_samples, 1))
 
 
+def _strip_arg(cfg: RenderSettings, is_train: bool = False):
+  """Epipolar-strip extents for the featmap lookup, or None.
+
+  Training keeps the per-sample gather: its custom VJP
+  (ops/grid_sample.py) is what makes the backward fast, while the strip
+  path's autodiff backward would be a serialized scatter of strips."""
+  if cfg.strip_sampling and not is_train:
+    return (cfg.strip_rows, cfg.strip_cols)
+  return None
+
+
 def _motion_window(apply_motion, basis, pts, time_emb, frame_idx, n_samples,
                    window):
   """MotionMLP -> tail-zeroed coeffs -> trajectory points at all offsets."""
@@ -122,14 +133,15 @@ def render_rays_mono(
 
   src_imgs, src_feats = _sampling_cast(cfg, rb["src_rgbs"], featmaps[0])
   st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
+  strip = _strip_arg(cfg, is_train)
   rgb_feat_ref, ray_diff_ref, mask_ref = proj.compute_with_motions(
       pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
       rb["src_cameras"], src_feats, rb["src_valid"],
-      fused_rgb=cfg.fused_rgb_sampling)
+      fused_rgb=cfg.fused_rgb_sampling, strip=strip)
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
       pts_ref, pts_3d_static, rb["camera"], st_imgs,
       rb["static_src_cameras"], st_feats, rb["static_valid"],
-      fused_rgb=cfg.fused_rgb_sampling)
+      fused_rgb=cfg.fused_rgb_sampling, strip=strip)
 
   pixel_mask_ref = jnp.sum(mask_ref[..., 0], axis=2) > 1       # [R,S]
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
@@ -202,7 +214,7 @@ def render_rays_mono(
   rgb_feat_anchor, ray_diff_anchor, mask_anchor = proj.compute_with_motions(
       pts_ref, pts_3d_seq_anchor, rb["camera"], a_imgs,
       rb["anchor_src_cameras"], a_feats, rb["anchor_valid"],
-      fused_rgb=cfg.fused_rgb_sampling)
+      fused_rgb=cfg.fused_rgb_sampling, strip=strip)
   # anchor pixel mask uses > 0 (reference render_ray.py:1198-1200)
   pixel_mask_anchor = jnp.sum(mask_anchor[..., 0], axis=2) > 0
 
@@ -266,13 +278,15 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
 
   src_imgs, src_feats = _sampling_cast(cfg, rb["src_rgbs"], featmaps[0])
   st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
+  strip = _strip_arg(cfg)
   rgb_feat, ray_diff, mask = proj.compute_with_motions(
       pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
-      src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling)
+      src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling,
+      strip=strip)
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
       pts, pts_static, rb["camera"], st_imgs,
       rb["static_src_cameras"], st_feats, rb["static_valid"],
-      fused_rgb=cfg.fused_rgb_sampling)
+      fused_rgb=cfg.fused_rgb_sampling, strip=strip)
 
   pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1

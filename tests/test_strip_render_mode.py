@@ -1,0 +1,101 @@
+"""Strip-sampling speed mode through the full render core.
+
+With a full-image strip (rows/cols >= featmap extents) every sample is
+covered, so the strip render must match the exact per-sample-gather render
+to accumulation precision.  With production strip extents the uncovered
+samples fold out through the mask, so outputs stay finite and close.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynibar_tpu.config import RenderSettings
+from dynibar_tpu.data.ray_batch import synthetic_ff_batch, synthetic_mono_batch
+from dynibar_tpu.models.dynibar import FFModel, MonoModel
+from dynibar_tpu.render.render_rays import render_rays_mono, render_rays_mv
+
+
+def _run_ff(cfg, n_rays=12, h=48, w=64):
+  model = FFModel(cfg=cfg, num_frames=24)
+  params = model.init_params(jax.random.PRNGKey(0))
+  rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
+      cfg, n_rays=n_rays, h=h, w=w, num_frames=24).items()}
+  coarse = (model.apply_feature(params, "feature_net", rb["src_rgbs"])[0],
+            None,
+            model.apply_feature(params, "feature_net",
+                                rb["static_src_rgbs"])[1])
+  fine = (model.apply_feature(params, "feature_net_fine", rb["src_rgbs"])[0],
+          None,
+          model.apply_feature(params, "feature_net_fine",
+                              rb["static_src_rgbs"])[1])
+
+  @jax.jit
+  def f(params, rb):
+    return render_rays_mv(model, params, rb, coarse, fine, cfg, det=True)
+
+  return f(params, rb)
+
+
+def test_full_image_strip_matches_exact_ff():
+  kwargs = dict(n_samples=8, n_importance=8, num_views_dy=7,
+                num_views_anchor=0, num_views_static=4, num_vv=0,
+                num_basis=4, inv_uniform=True)
+  exact = _run_ff(RenderSettings(**kwargs))
+  # featmaps for a 48x64 source are 12x16 -> a 16x16 strip covers everything
+  strip = _run_ff(RenderSettings(strip_sampling=True, strip_rows=16,
+                                 strip_cols=16, **kwargs))
+  for key in ("outputs_coarse_ref", "outputs_fine_ref"):
+    np.testing.assert_allclose(np.asarray(exact[key]["rgb"]),
+                               np.asarray(strip[key]["rgb"]),
+                               rtol=0, atol=3e-5)
+
+
+def test_partial_strip_stays_close_ff():
+  kwargs = dict(n_samples=8, n_importance=8, num_views_dy=7,
+                num_views_anchor=0, num_views_static=4, num_vv=0,
+                num_basis=4, inv_uniform=True)
+  exact = _run_ff(RenderSettings(**kwargs))
+  strip = _run_ff(RenderSettings(strip_sampling=True, strip_rows=8,
+                                 strip_cols=12, **kwargs))
+  rgb_e = np.asarray(exact["outputs_fine_ref"]["rgb"])
+  rgb_s = np.asarray(strip["outputs_fine_ref"]["rgb"])
+  assert np.isfinite(rgb_s).all()
+  assert np.abs(rgb_e - rgb_s).mean() < 0.05
+
+
+def test_mono_eval_strip_and_train_guard():
+  kwargs = dict(n_samples=8, num_views_dy=9, num_views_anchor=10,
+                num_views_static=6, num_vv=3, num_basis=4)
+  cfg = RenderSettings(**kwargs)
+  cfg_s = RenderSettings(strip_sampling=True, strip_rows=16, strip_cols=16,
+                         **kwargs)
+  model = MonoModel(cfg=cfg, num_frames=32)
+  params = model.init_params(jax.random.PRNGKey(0))
+  rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
+      cfg, n_rays=12, h=48, w=64, num_frames=32).items()}
+
+  def run(m, c, is_train):
+    @jax.jit
+    def f(params, rb):
+      dy, _ = m.apply_feature(params, rb["src_rgbs"])
+      anchor, _ = m.apply_feature(params, rb["anchor_src_rgbs"])
+      st, _ = m.apply_feature_st(params, rb["static_src_rgbs"])
+      return render_rays_mono(m, params, rb, (dy, anchor, st), c,
+                              is_train=is_train, det=True,
+                              rng=jax.random.PRNGKey(1))
+    return f(params, rb)
+
+  exact = run(model, cfg, False)
+  strip = run(MonoModel(cfg=cfg_s, num_frames=32), cfg_s, False)
+  np.testing.assert_allclose(
+      np.asarray(exact["outputs_coarse_ref"]["rgb"]),
+      np.asarray(strip["outputs_coarse_ref"]["rgb"]), rtol=0, atol=3e-5)
+
+  # training ignores strip_sampling (keeps the custom-VJP gather): the
+  # training forward must match the plain config's bit for bit
+  t_exact = run(model, cfg, True)
+  t_strip = run(MonoModel(cfg=cfg_s, num_frames=32), cfg_s, True)
+  np.testing.assert_array_equal(
+      np.asarray(t_exact["outputs_coarse_anchor"]["rgb"]),
+      np.asarray(t_strip["outputs_coarse_anchor"]["rgb"]))
