@@ -1,0 +1,95 @@
+"""Serving surface: resident session + HTTP server over a synthetic scene."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from dynibar_tpu.config import DynibarConfig
+from dynibar_tpu.data.synthetic_scene import write_synthetic_scene
+from dynibar_tpu.models.dynibar import MonoModel
+from dynibar_tpu.serve.server import make_server
+from dynibar_tpu.serve.session import RenderSession
+
+
+@pytest.fixture(scope="module")
+def session(tmp_path_factory):
+  root = str(tmp_path_factory.mktemp("scene"))
+  write_synthetic_scene(root, "tiny", num_frames=12, height=32, width=48)
+  config = DynibarConfig(folder_path=root, train_scenes=["tiny"],
+                         training_height=32, num_source_views=4,
+                         max_range=8, num_vv=2, N_samples=8, num_basis=4,
+                         chunk_size=256)
+  # inject random-init params: serving must not require a training run here
+  data_cfg = config.render_settings("mono")
+  config.num_frames = 12
+  model = MonoModel(cfg=data_cfg, num_frames=12)
+  params = model.init_params(jax.random.PRNGKey(0))
+  return RenderSession(config, params=params, featmap_cache=2)
+
+
+def test_session_render_and_cache(session):
+  pose = np.asarray(session.data.c2w[5])
+  out = session.render(pose, 5, stride=4)
+  h, w = session.height, session.width
+  assert out["rgb"].shape == ((h + 3) // 4, (w + 3) // 4, 3)
+  assert out["depth"].shape == out["rgb"].shape[:2]
+  assert np.isfinite(out["rgb"]).all()
+  # second render of the same frame hits the featmap cache
+  before = session.stats["featmap_cache_hits"]
+  session.render(pose, 5, stride=4)
+  assert session.stats["featmap_cache_hits"] == before + 1
+  # layers on demand
+  out = session.render(pose, 5, stride=4, layers=True)
+  assert out["rgb_dy"].shape == out["rgb"].shape
+  assert out["rgb_st"].shape == out["rgb"].shape
+
+
+def test_http_endpoints(session):
+  httpd = make_server(session, "127.0.0.1", 0)
+  port = httpd.server_port
+  t = threading.Thread(target=httpd.serve_forever, daemon=True)
+  t.start()
+  base = f"http://127.0.0.1:{port}"
+  try:
+    health = json.load(urllib.request.urlopen(f"{base}/healthz"))
+    assert health["status"] == "ok"
+    meta = json.load(urllib.request.urlopen(f"{base}/meta"))
+    assert meta["num_frames"] == 12
+    assert meta["frame_window"] == [3, 8]
+
+    body = json.dumps({
+        "c2w": np.asarray(session.data.c2w[6]).tolist(),
+        "frame_idx": 6, "stride": 4, "format": "npy",
+    }).encode()
+    req = urllib.request.Request(f"{base}/render", data=body,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+      assert resp.status == 200
+      arr = np.load(io.BytesIO(resp.read()))
+    assert arr.shape == (8, 12, 3)
+    assert np.isfinite(arr).all()
+
+    # png path
+    body = json.dumps({"c2w": np.asarray(session.data.c2w[6]).tolist(),
+                       "frame_idx": 6, "stride": 4}).encode()
+    req = urllib.request.Request(f"{base}/render", data=body)
+    with urllib.request.urlopen(req) as resp:
+      png = resp.read()
+    assert png[:4] == b"\x89PNG"
+
+    # malformed request -> 400, server stays alive
+    req = urllib.request.Request(f"{base}/render", data=b'{"frame_idx": 1}')
+    try:
+      urllib.request.urlopen(req)
+      raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+      assert e.code == 400
+    stats = json.load(urllib.request.urlopen(f"{base}/stats"))
+    assert stats["counters"]["renders"] >= 1
+  finally:
+    httpd.shutdown()
