@@ -36,13 +36,15 @@ def main():
   compute_dtype = os.environ.get("DYNIBAR_BENCH_DTYPE", "bfloat16")
   chunk = int(os.environ.get("DYNIBAR_BENCH_CHUNK", "4096"))
   fused = os.environ.get("DYNIBAR_BENCH_FUSED", "0") == "1"
-  strip = os.environ.get("DYNIBAR_BENCH_STRIP", "0") == "1"
+  # "0" off | "1"/"pallas" gatherless Pallas kernel | "xla" strip gather
+  strip = os.environ.get("DYNIBAR_BENCH_STRIP", "0")
 
   cfg = RenderSettings(
       n_samples=64, n_importance=64, num_views_dy=7, num_views_anchor=0,
       num_views_static=11, num_vv=0, num_basis=6, inv_uniform=True,
       compute_dtype=compute_dtype, fused_rgb_sampling=fused,
-      strip_sampling=strip)
+      strip_sampling=strip != "0",
+      strip_impl="xla" if strip == "xla" else "pallas")
   model = FFModel(cfg=cfg, num_frames=48)
   params = model.init_params(jax.random.PRNGKey(0))
   rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(

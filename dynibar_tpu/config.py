@@ -139,6 +139,7 @@ class DynibarConfig:
   strip_sampling: bool = False
   strip_rows: int = 16
   strip_cols: int = 64
+  strip_impl: str = "pallas"
 
   @classmethod
   def from_file(cls, path: str, **overrides) -> "DynibarConfig":
@@ -206,6 +207,7 @@ class DynibarConfig:
         strip_sampling=self.strip_sampling,
         strip_rows=self.strip_rows,
         strip_cols=self.strip_cols,
+        strip_impl=self.strip_impl,
     )
 
 
@@ -254,6 +256,10 @@ class RenderSettings:
   strip_sampling: bool = False
   strip_rows: int = 16
   strip_cols: int = 64
+  # "pallas": gatherless VMEM-resident kernel (ops/pallas_sample.py,
+  # fastest; strip_rows/cols ignored — fixed 32-row window, full width);
+  # "xla": pure-XLA strip gather + one-hot matmul (ops/strip_sample.py)
+  strip_impl: str = "pallas"
 
   @property
   def num_offsets(self) -> int:

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from dynibar_tpu.core import cameras as cam
 from dynibar_tpu.ops.grid_sample import bilinear_sample_views
+from dynibar_tpu.ops.pallas_sample import pallas_bilinear_sample_views
 from dynibar_tpu.ops.strip_sample import strip_sample_views
 
 
@@ -90,6 +91,7 @@ def compute_with_motions(
     view_valid: jnp.ndarray,    # [V] 0/1 padding mask
     fused_rgb: bool = False,
     strip: Optional[Tuple[int, int]] = None,
+    strip_impl: str = "pallas",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """Project, gather RGB+features, compute angle features and masks.
 
@@ -123,8 +125,14 @@ def compute_with_motions(
 
   covered = None
   if strip is not None:
-    feats, covered = strip_sample_views(featmaps, grid,
-                                        rows=strip[0], cols=strip[1])
+    if strip_impl == "pallas":
+      # interpret mode keeps the CPU test mesh working; Mosaic compiles on
+      # real TPUs only
+      feats, covered = pallas_bilinear_sample_views(
+          featmaps, grid, interpret=jax.default_backend() != "tpu")
+    else:
+      feats, covered = strip_sample_views(featmaps, grid,
+                                          rows=strip[0], cols=strip[1])
     if fused_rgb:
       rgb_feat = feats                                           # [V,R,S,3+C]
     else:

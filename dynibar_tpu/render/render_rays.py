@@ -137,11 +137,13 @@ def render_rays_mono(
   rgb_feat_ref, ray_diff_ref, mask_ref = proj.compute_with_motions(
       pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
       rb["src_cameras"], src_feats, rb["src_valid"],
-      fused_rgb=cfg.fused_rgb_sampling, strip=strip)
+      fused_rgb=cfg.fused_rgb_sampling, strip=strip,
+      strip_impl=cfg.strip_impl)
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
       pts_ref, pts_3d_static, rb["camera"], st_imgs,
       rb["static_src_cameras"], st_feats, rb["static_valid"],
-      fused_rgb=cfg.fused_rgb_sampling, strip=strip)
+      fused_rgb=cfg.fused_rgb_sampling, strip=strip,
+      strip_impl=cfg.strip_impl)
 
   pixel_mask_ref = jnp.sum(mask_ref[..., 0], axis=2) > 1       # [R,S]
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
@@ -214,7 +216,8 @@ def render_rays_mono(
   rgb_feat_anchor, ray_diff_anchor, mask_anchor = proj.compute_with_motions(
       pts_ref, pts_3d_seq_anchor, rb["camera"], a_imgs,
       rb["anchor_src_cameras"], a_feats, rb["anchor_valid"],
-      fused_rgb=cfg.fused_rgb_sampling, strip=strip)
+      fused_rgb=cfg.fused_rgb_sampling, strip=strip,
+      strip_impl=cfg.strip_impl)
   # anchor pixel mask uses > 0 (reference render_ray.py:1198-1200)
   pixel_mask_anchor = jnp.sum(mask_anchor[..., 0], axis=2) > 0
 
@@ -282,11 +285,12 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
   rgb_feat, ray_diff, mask = proj.compute_with_motions(
       pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
       src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling,
-      strip=strip)
+      strip=strip, strip_impl=cfg.strip_impl)
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
       pts, pts_static, rb["camera"], st_imgs,
       rb["static_src_cameras"], st_feats, rb["static_valid"],
-      fused_rgb=cfg.fused_rgb_sampling, strip=strip)
+      fused_rgb=cfg.fused_rgb_sampling, strip=strip,
+      strip_impl=cfg.strip_impl)
 
   pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
