@@ -36,8 +36,9 @@ def main():
   compute_dtype = os.environ.get("DYNIBAR_BENCH_DTYPE", "bfloat16")
   chunk = int(os.environ.get("DYNIBAR_BENCH_CHUNK", "4096"))
   fused = os.environ.get("DYNIBAR_BENCH_FUSED", "0") == "1"
-  # "0" off | "1"/"pallas" gatherless Pallas kernel | "xla" strip gather
-  strip = os.environ.get("DYNIBAR_BENCH_STRIP", "0")
+  # "pallas" (default) gatherless Pallas kernel | "xla" strip gather |
+  # "0" exact per-point gather (parity baseline)
+  strip = os.environ.get("DYNIBAR_BENCH_STRIP", "pallas")
 
   cfg = RenderSettings(
       n_samples=64, n_importance=64, num_views_dy=7, num_views_anchor=0,
@@ -47,8 +48,11 @@ def main():
       strip_impl="xla" if strip == "xla" else "pallas")
   model = FFModel(cfg=cfg, num_frames=48)
   params = model.init_params(jax.random.PRNGKey(0))
+  # scanline rays: the layout full-image eval feeds the render core
+  # (render_image chunks are contiguous pixel blocks)
   rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
-      cfg, n_rays=chunk, h=288, w=512, num_frames=48).items()}
+      cfg, n_rays=chunk, h=288, w=512, num_frames=48,
+      scanline=True).items()}
 
   coarse = (model.apply_feature(params, "feature_net", rb["src_rgbs"])[0],
             None,

@@ -128,18 +128,24 @@ def compute_with_motions(
     if strip_impl == "pallas":
       # interpret mode keeps the CPU test mesh working; Mosaic compiles on
       # real TPUs only
-      feats, covered = pallas_bilinear_sample_views(
-          featmaps, grid, interpret=jax.default_backend() != "tpu")
+      interp = jax.default_backend() != "tpu"
+      feats, covered = pallas_bilinear_sample_views(featmaps, grid,
+                                                    interpret=interp)
+      if not fused_rgb:
+        # full-res source colors through the same kernel (32-row windows)
+        rgbs, cov_rgb = pallas_bilinear_sample_views(src_rgbs, grid,
+                                                     interpret=interp)
+        covered = covered & cov_rgb
     else:
       feats, covered = strip_sample_views(featmaps, grid,
                                           rows=strip[0], cols=strip[1])
+      if not fused_rgb:
+        rgbs = bilinear_sample_views(src_rgbs, grid_flat,
+                                     image_grad=False).reshape(v, r, s, -1)
     if fused_rgb:
       rgb_feat = feats                                           # [V,R,S,3+C]
     else:
-      rgbs = bilinear_sample_views(src_rgbs, grid_flat,
-                                   image_grad=False)             # [V,R*S,3]
-      rgb_feat = jnp.concatenate(
-          [rgbs.reshape(v, r, s, -1), feats], axis=-1)
+      rgb_feat = jnp.concatenate([rgbs, feats], axis=-1)
   elif fused_rgb:
     rgb_feat = bilinear_sample_views(featmaps, grid_flat,
                                      image_grad=True)            # [V,N,3+C]

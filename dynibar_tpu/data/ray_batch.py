@@ -85,8 +85,14 @@ def synthetic_mono_batch(
     anchor_delta: int = 1,
     seed: int = 0,
     include_identity_anchor: bool = False,
+    scanline: bool = False,
 ) -> Dict[str, np.ndarray]:
-  """Build a fixed-shape monocular training ray batch on a synthetic scene."""
+  """Build a fixed-shape monocular training ray batch on a synthetic scene.
+
+  scanline=True picks a contiguous pixel block instead of random pixels —
+  the layout full-image rendering actually feeds the render core
+  (render_image chunks scanline order), which epipolar-coherent samplers
+  (ops/pallas_sample.py) exploit."""
   rng = np.random.RandomState(seed)
   anchor_idx = ref_idx + anchor_delta
   poses = synthetic_poses(num_frames, seed)
@@ -96,8 +102,12 @@ def synthetic_mono_batch(
   def camera_of(i):
     return make_camera(h, w, k, poses[i])
 
-  # target rays from random pixels
-  sel = rng.choice(h * w, size=n_rays, replace=n_rays > h * w)
+  # target rays from random pixels (or a contiguous scanline block)
+  if scanline:
+    start = int(rng.randint(0, max(h * w - n_rays, 1)))
+    sel = (start + np.arange(n_rays)) % (h * w)
+  else:
+    sel = rng.choice(h * w, size=n_rays, replace=n_rays > h * w)
   vv, uu = np.divmod(sel, w)
   uv = np.stack([uu, vv], axis=-1).astype(np.float32)
   pix = np.concatenate([uv, np.ones_like(uv[:, :1])], axis=-1)
@@ -183,6 +193,7 @@ def synthetic_ff_batch(
     num_frames: int = 48,
     ref_idx: int = 10,
     seed: int = 0,
+    scanline: bool = False,
 ) -> Dict[str, np.ndarray]:
   """Fixed-shape forward-facing (Nvidia-benchmark style) eval ray batch."""
   mono = synthetic_mono_batch(
@@ -190,7 +201,8 @@ def synthetic_ff_batch(
           n_samples=cfg.n_samples, num_views_dy=7,
           num_views_anchor=0, num_views_static=cfg.num_views_static,
           num_vv=0, num_basis=cfg.num_basis),
-      n_rays, h, w, num_frames, ref_idx, anchor_delta=1, seed=seed)
+      n_rays, h, w, num_frames, ref_idx, anchor_delta=1, seed=seed,
+      scanline=scanline)
   # forward-facing uses 7 temporal views incl. offset 0 and no vv
   poses = synthetic_poses(num_frames, seed)
   k = intrinsics_from_hwf(h, w, 0.9 * w)

@@ -16,7 +16,9 @@ from dynibar_tpu.models.dynibar import FFModel, MonoModel
 from dynibar_tpu.render.render_rays import render_rays_mono, render_rays_mv
 
 
-def _run_ff(cfg, n_rays=12, h=48, w=64):
+def _run_ff(cfg, n_rays=12, h=32, w=64):
+  # h=32: the pallas sampler's 2x16-row window then covers the whole
+  # image, so every sample is exact regardless of ray coherence
   model = FFModel(cfg=cfg, num_frames=24)
   params = model.init_params(jax.random.PRNGKey(0))
   rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
@@ -37,14 +39,19 @@ def _run_ff(cfg, n_rays=12, h=48, w=64):
   return f(params, rb)
 
 
-def test_full_image_strip_matches_exact_ff():
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+def test_full_image_strip_matches_exact_ff(impl):
   kwargs = dict(n_samples=8, n_importance=8, num_views_dy=7,
                 num_views_anchor=0, num_views_static=4, num_vv=0,
                 num_basis=4, inv_uniform=True)
   exact = _run_ff(RenderSettings(**kwargs))
-  # featmaps for a 48x64 source are 12x16 -> a 16x16 strip covers everything
+  # featmaps for a 32x64 source are 8x16 -> a 16x16 xla strip (or the
+  # pallas 32-row window) covers everything
   strip = _run_ff(RenderSettings(strip_sampling=True, strip_rows=16,
-                                 strip_cols=16, **kwargs))
+                                 strip_cols=16, strip_impl=impl, **kwargs))
   for key in ("outputs_coarse_ref", "outputs_fine_ref"):
     np.testing.assert_allclose(np.asarray(exact[key]["rgb"]),
                                np.asarray(strip[key]["rgb"]),
@@ -56,8 +63,10 @@ def test_partial_strip_stays_close_ff():
                 num_views_anchor=0, num_views_static=4, num_vv=0,
                 num_basis=4, inv_uniform=True)
   exact = _run_ff(RenderSettings(**kwargs))
+  # xla impl with deliberately tiny strips: exercises uncovered-sample
+  # masking (the pallas window would cover these small maps entirely)
   strip = _run_ff(RenderSettings(strip_sampling=True, strip_rows=8,
-                                 strip_cols=12, **kwargs))
+                                 strip_cols=12, strip_impl="xla", **kwargs))
   rgb_e = np.asarray(exact["outputs_fine_ref"]["rgb"])
   rgb_s = np.asarray(strip["outputs_fine_ref"]["rgb"])
   assert np.isfinite(rgb_s).all()
@@ -73,7 +82,7 @@ def test_mono_eval_strip_and_train_guard():
   model = MonoModel(cfg=cfg, num_frames=32)
   params = model.init_params(jax.random.PRNGKey(0))
   rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
-      cfg, n_rays=12, h=48, w=64, num_frames=32).items()}
+      cfg, n_rays=12, h=32, w=64, num_frames=32).items()}
 
   def run(m, c, is_train):
     @jax.jit
