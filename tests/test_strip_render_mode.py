@@ -108,3 +108,19 @@ def test_mono_eval_strip_and_train_guard():
   np.testing.assert_array_equal(
       np.asarray(t_exact["outputs_coarse_anchor"]["rgb"]),
       np.asarray(t_strip["outputs_coarse_anchor"]["rgb"]))
+
+
+def test_scanline_batch_and_config_flags(tmp_path):
+  from dynibar_tpu.config import DynibarConfig
+  rb = synthetic_ff_batch(RenderSettings(num_views_static=4, num_vv=0),
+                          n_rays=64, h=16, w=24, scanline=True)
+  uv = rb["uv_grid"]
+  flat = uv[:, 1] * 24 + uv[:, 0]
+  assert np.all(np.diff(flat) % (16 * 24) == 1)  # contiguous pixel block
+
+  cfg_file = tmp_path / "c.txt"
+  cfg_file.write_text("strip_sampling = True\nstrip_impl = xla\n"
+                      "strip_rows = 8\n")
+  cfg = DynibarConfig.from_file(str(cfg_file))
+  rs = cfg.render_settings("ff")
+  assert rs.strip_sampling and rs.strip_impl == "xla" and rs.strip_rows == 8
