@@ -140,6 +140,7 @@ class DynibarConfig:
   strip_rows: int = 16
   strip_cols: int = 64
   strip_impl: str = "pallas"
+  strip_auto_exact: bool = True
 
   @classmethod
   def from_file(cls, path: str, **overrides) -> "DynibarConfig":
@@ -208,6 +209,7 @@ class DynibarConfig:
         strip_rows=self.strip_rows,
         strip_cols=self.strip_cols,
         strip_impl=self.strip_impl,
+        strip_auto_exact=self.strip_auto_exact,
     )
 
 
@@ -260,6 +262,10 @@ class RenderSettings:
   # fastest; strip_rows/cols ignored — fixed 32-row window, full width);
   # "xla": pure-XLA strip gather + one-hot matmul (ops/strip_sample.py)
   strip_impl: str = "pallas"
+  # full-image rendering re-renders any chunk whose fast-path sampling
+  # reports a coverage miss through the exact gather program, making
+  # strip_sampling bit-correct end to end (render/render_image.py)
+  strip_auto_exact: bool = True
 
   @property
   def num_offsets(self) -> int:

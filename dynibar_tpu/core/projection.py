@@ -92,6 +92,7 @@ def compute_with_motions(
     fused_rgb: bool = False,
     strip: Optional[Tuple[int, int]] = None,
     strip_impl: str = "pallas",
+    cov_out: Optional[list] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """Project, gather RGB+features, compute angle features and masks.
 
@@ -107,6 +108,10 @@ def compute_with_motions(
   sampling (ops/strip_sample.py) — one strip gather per (ray, view) instead
   of one descriptor per sample; samples whose segment escapes the strip are
   folded out through the validity mask.
+
+  cov_out (a list, appended to) receives one traced bool scalar: True iff
+  every otherwise-valid sample was covered by its strip/window — the signal
+  render_image's auto-exact fallback re-renders a chunk on.
 
   Returns:
     rgb_feat [R, S, V, 3+C], ray_diff [R, S, V, 4], mask [R, S, V, 1].
@@ -162,7 +167,12 @@ def compute_with_motions(
   mask = (inbound_mask(pixel_xy, h, w) & in_front)               # [V,R,S]
   mask = mask & (view_valid[:, None, None] > 0)
   if covered is not None:
+    if cov_out is not None:
+      # "covered or wasn't going to contribute anyway"
+      cov_out.append(jnp.all(covered | ~mask))
     mask = mask & covered
+  elif cov_out is not None:
+    cov_out.append(jnp.asarray(True))
 
   # the reference detaches the angle feature (projection.py:169)
   ray_diff = jax.lax.stop_gradient(

@@ -16,6 +16,7 @@ with a TPU-first structure:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Callable, Dict, Optional
 
@@ -84,8 +85,27 @@ def _chunked_batches(rb: Dict[str, Any], chunk_size: int,
   return out, n_chunks, n_rays
 
 
-def _run_chunks(render_chunk, params, rb_c, extra, n_chunks, n_rays):
-  outs = [render_chunk(params, rb_c, *extra, i) for i in range(n_chunks)]
+def _run_chunks(render_chunk, params, rb_c, extra, n_chunks, n_rays,
+                exact_chunk=None, stats: Optional[dict] = None):
+  """Run every chunk; when a chunk reports a sampling-coverage miss and an
+  `exact_chunk` renderer is supplied, transparently re-render that chunk
+  through the exact per-sample-gather program (auto-exact fallback: the
+  fast path stays bit-correct end to end, misses only cost one re-render
+  of their chunk)."""
+  # dispatch every chunk before inspecting coverage: the bool() sync would
+  # otherwise serialize the async chunk pipeline
+  outs, covs = zip(*[render_chunk(params, rb_c, *extra, i)
+                     for i in range(n_chunks)])
+  outs = list(outs)
+  n_fallback = 0
+  if exact_chunk is not None:
+    for i, cov in enumerate(covs):
+      if not bool(cov):
+        outs[i], _ = exact_chunk(params, rb_c, *extra, i)
+        n_fallback += 1
+  if stats is not None:
+    stats["chunks"] = n_chunks
+    stats["exact_fallback_chunks"] = n_fallback
   return jax.tree_util.tree_map(
       lambda *xs: np.concatenate([np.asarray(x) for x in xs],
                                  axis=0)[:n_rays], *outs)
@@ -117,8 +137,9 @@ def _mono_chunk_fn(model, cfg: RenderSettings, det: bool):
   @jax.jit
   def render_chunk(params, rb_chunked, featmaps, i):
     chunk = _take_chunk(rb_chunked, i)
+    cov = []
     ret = render_rays_mono(model, params, chunk, featmaps, cfg,
-                           is_train=False, det=det)
+                           is_train=False, det=det, cov_out=cov)
     keep = {}
     for name in ("outputs_coarse_ref", "outputs_coarse_st"):
       o = ret[name]
@@ -127,7 +148,7 @@ def _mono_chunk_fn(model, cfg: RenderSettings, det: bool):
       if "rgb_static" in o:
         keep[name]["rgb_static"] = o["rgb_static"]
         keep[name]["rgb_dy"] = o["rgb_dy"]
-    return keep
+    return keep, jnp.all(jnp.stack(cov)) if cov else jnp.asarray(True)
   return render_chunk
 
 
@@ -136,39 +157,57 @@ def _ff_chunk_fn(model, cfg: RenderSettings, det: bool):
   @jax.jit
   def render_chunk(params, rb_chunked, cf, ff, i):
     chunk = _take_chunk(rb_chunked, i)
-    ret = render_rays_mv(model, params, chunk, cf, ff, cfg, det=det)
+    cov = []
+    ret = render_rays_mv(model, params, chunk, cf, ff, cfg, det=det,
+                         cov_out=cov)
     keep = {}
     for name in ("outputs_coarse_ref", "outputs_fine_ref"):
       o = ret[name]
       keep[name] = {"rgb": o["rgb"], "depth": o["depth"],
                     "mask": o["mask"].astype(jnp.float32)}
-    return keep
+    return keep, jnp.all(jnp.stack(cov)) if cov else jnp.asarray(True)
   return render_chunk
+
+
+def _exact_cfg(cfg: RenderSettings) -> RenderSettings:
+  return dataclasses.replace(cfg, strip_sampling=False)
 
 
 def render_image_mono(model, params, rb: Dict[str, Any], featmaps,
                       cfg: RenderSettings, chunk_size: int,
                       height: int, width: int, det: bool = True,
-                      mesh=None) -> Dict[str, Dict[str, np.ndarray]]:
+                      mesh=None, stats: Optional[dict] = None
+                      ) -> Dict[str, Dict[str, np.ndarray]]:
   """Render a full target view with the monocular model.
 
   Returns {'outputs_coarse_ref': {...}, 'outputs_coarse_st': {...}} with
-  [H, W, ·] arrays.
+  [H, W, ·] arrays.  With strip_sampling + strip_auto_exact (default),
+  chunks whose fast-path sampling reports a coverage miss are re-rendered
+  through the exact gather program; `stats` (optional dict) receives
+  {'chunks', 'exact_fallback_chunks'}.
   """
   rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
   render_chunk = _mono_chunk_fn(model, cfg, det)
+  exact = (_mono_chunk_fn(model, _exact_cfg(cfg), det)
+           if cfg.strip_sampling and cfg.strip_auto_exact else None)
   merged = _run_chunks(render_chunk, params, rb_c, (featmaps,), n_chunks,
-                       n_rays)
+                       n_rays, exact_chunk=exact, stats=stats)
   return _to_images(merged, height, width)
 
 
 def render_image_ff(model, params, rb: Dict[str, Any], coarse_featmaps,
                     fine_featmaps, cfg: RenderSettings, chunk_size: int,
                     height: int, width: int, det: bool = True,
-                    mesh=None) -> Dict[str, Dict[str, np.ndarray]]:
-  """Render a full target view with the forward-facing (Nvidia) model."""
+                    mesh=None, stats: Optional[dict] = None
+                    ) -> Dict[str, Dict[str, np.ndarray]]:
+  """Render a full target view with the forward-facing (Nvidia) model.
+
+  Auto-exact fallback as in :func:`render_image_mono`."""
   rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
   render_chunk = _ff_chunk_fn(model, cfg, det)
+  exact = (_ff_chunk_fn(model, _exact_cfg(cfg), det)
+           if cfg.strip_sampling and cfg.strip_auto_exact else None)
   merged = _run_chunks(render_chunk, params, rb_c,
-                       (coarse_featmaps, fine_featmaps), n_chunks, n_rays)
+                       (coarse_featmaps, fine_featmaps), n_chunks, n_rays,
+                       exact_chunk=exact, stats=stats)
   return _to_images(merged, height, width)

@@ -90,6 +90,7 @@ def render_rays_mono(
     is_train: bool,
     det: bool,
     rng: Optional[jax.Array] = None,
+    cov_out: Optional[list] = None,
 ) -> Dict[str, Any]:
   """Monocular-model forward for a batch of rays.
 
@@ -138,12 +139,12 @@ def render_rays_mono(
       pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
       rb["src_cameras"], src_feats, rb["src_valid"],
       fused_rgb=cfg.fused_rgb_sampling, strip=strip,
-      strip_impl=cfg.strip_impl)
+      strip_impl=cfg.strip_impl, cov_out=cov_out)
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
       pts_ref, pts_3d_static, rb["camera"], st_imgs,
       rb["static_src_cameras"], st_feats, rb["static_valid"],
       fused_rgb=cfg.fused_rgb_sampling, strip=strip,
-      strip_impl=cfg.strip_impl)
+      strip_impl=cfg.strip_impl, cov_out=cov_out)
 
   pixel_mask_ref = jnp.sum(mask_ref[..., 0], axis=2) > 1       # [R,S]
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
@@ -264,7 +265,7 @@ def render_rays_mono(
 
 
 def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
-                     s_vals, input_ray_dir, num_frames):
+                     s_vals, input_ray_dir, num_frames, cov_out=None):
   """Shared coarse/fine forward of the forward-facing model
   (reference fine_render_rays, render_ray.py:407-597)."""
   w = cfg.traj_window
@@ -285,12 +286,12 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
   rgb_feat, ray_diff, mask = proj.compute_with_motions(
       pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
       src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling,
-      strip=strip, strip_impl=cfg.strip_impl)
+      strip=strip, strip_impl=cfg.strip_impl, cov_out=cov_out)
   rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
       pts, pts_static, rb["camera"], st_imgs,
       rb["static_src_cameras"], st_feats, rb["static_valid"],
       fused_rgb=cfg.fused_rgb_sampling, strip=strip,
-      strip_impl=cfg.strip_impl)
+      strip_impl=cfg.strip_impl, cov_out=cov_out)
 
   pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1
   pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
@@ -322,6 +323,7 @@ def render_rays_mv(
     *,
     det: bool = True,
     rng: Optional[jax.Array] = None,
+    cov_out: Optional[list] = None,
 ) -> Dict[str, Any]:
   """Coarse→fine forward of the forward-facing (Nvidia benchmark) model
   (reference render_rays_mv, render_ray.py:600-867; eval path)."""
@@ -335,7 +337,7 @@ def render_rays_mv(
 
   outputs_coarse, _, _, _ = _render_stage_ff(
       model, params, rb, coarse_featmaps, cfg, "coarse", pts_ref, z_vals,
-      None, input_ray_dir, model.num_frames)
+      None, input_ray_dir, model.num_frames, cov_out=cov_out)
   # coarse stage is frozen (reference runs it under torch.no_grad,
   # render_ray.py:672)
   outputs_coarse = jax.tree_util.tree_map(jax.lax.stop_gradient,
@@ -352,7 +354,7 @@ def render_rays_mv(
 
   outputs_fine, outputs_fine_dy, traj_fine, pts_seq_fine = _render_stage_ff(
       model, params, rb, fine_featmaps, cfg, "fine", pts_fine, z_all, s_all,
-      input_ray_dir, model.num_frames)
+      input_ray_dir, model.num_frames, cov_out=cov_out)
 
   outputs_fine["render_flows"] = comp.render_optical_flow(
       outputs_fine["weights"], pts_seq_fine, rb["src_cameras"],

@@ -124,3 +124,44 @@ def test_scanline_batch_and_config_flags(tmp_path):
   cfg = DynibarConfig.from_file(str(cfg_file))
   rs = cfg.render_settings("ff")
   assert rs.strip_sampling and rs.strip_impl == "xla" and rs.strip_rows == 8
+
+
+def test_auto_exact_fallback_matches_exact_render():
+  """Chunks with coverage misses are re-rendered exactly (render_image)."""
+  from dynibar_tpu.render.render_image import (full_image_ray_batch,
+                                               render_image_ff)
+  kwargs = dict(n_samples=8, n_importance=8, num_views_dy=7,
+                num_views_anchor=0, num_views_static=4, num_vv=0,
+                num_basis=4, inv_uniform=True)
+  cfg = RenderSettings(**kwargs)
+  cfg_s = RenderSettings(strip_sampling=True, **kwargs)
+  # tall image: 96 rows >> the 32-row pallas window, so some chunks miss
+  h, w = 96, 32
+  model = FFModel(cfg=cfg, num_frames=24)
+  params = model.init_params(jax.random.PRNGKey(0))
+  rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
+      cfg, n_rays=4, h=h, w=w, num_frames=24).items()}
+  coarse = (model.apply_feature(params, "feature_net", rb["src_rgbs"])[0],
+            None,
+            model.apply_feature(params, "feature_net",
+                                rb["static_src_rgbs"])[1])
+  fine = (model.apply_feature(params, "feature_net_fine", rb["src_rgbs"])[0],
+          None,
+          model.apply_feature(params, "feature_net_fine",
+                              rb["static_src_rgbs"])[1])
+  rb = full_image_ray_batch(rb, rb["camera"], render_stride=4)
+  hh, ww = h // 4, w // 4
+
+  exact = render_image_ff(model, params, rb, coarse, fine, cfg, 64, hh, ww)
+  stats = {}
+  fast = render_image_ff(FFModel(cfg=cfg_s, num_frames=24), params, rb,
+                         coarse, fine, cfg_s, 64, hh, ww, stats=stats)
+  assert stats["chunks"] == (hh * ww + 63) // 64
+  # the tall image forces coverage misses on the full-res RGB windows:
+  # those chunks MUST have been re-rendered through the exact program
+  assert stats["exact_fallback_chunks"] >= 1
+  # covered chunks differ only by MXU accumulation order, amplified
+  # through the MLP chain (~3e-5 at f32; dropped samples would be ~0.9)
+  np.testing.assert_allclose(
+      np.asarray(exact["outputs_fine_ref"]["rgb"]),
+      np.asarray(fast["outputs_fine_ref"]["rgb"]), rtol=0, atol=1e-4)
