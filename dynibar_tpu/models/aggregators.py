@@ -107,12 +107,13 @@ class DynamicAggregator(nn.Module):
     time_pe = periodic_embed(time, max_freq=10, n_freq=10, linspace=False)
     if self.compute_dtype is not None:
       time_pe = time_pe.astype(self.compute_dtype)
-    time_pe = jnp.broadcast_to(time_pe[:, :, None, :],
-                               time_pe.shape[:2] + (num_views,)
-                               + time_pe.shape[-1:])
+    # ray_dir_fc's input is broadcast over the view axis (reference
+    # mlp_network.py:240-247 applies the MLP *after* expanding to
+    # [R,S,V,·]); MLP(broadcast(x)) == broadcast(MLP(x)), so run it on
+    # [R,S,·] and expand the 35-dim output — V× less matmul work.
     direction_feat = MLP((256, self.in_feat_ch + 3), activate_final=True,
                          dtype=self.compute_dtype, name="ray_dir_fc")(time_pe)
-    rgb_feat = rgb_feat + direction_feat
+    rgb_feat = rgb_feat + direction_feat[:, :, None, :]
 
     weight = _masked_view_weights(mask)
 
@@ -184,8 +185,6 @@ class StaticAggregator(nn.Module):
       ray_diff = ray_diff.astype(dt)
       mask = mask.astype(dt)
 
-    ref_features = jnp.broadcast_to(
-        ref_rays_pe[:, None, None, :], (r, s, num_views, ref_rays_pe.shape[-1]))
     src_features = jnp.concatenate(
         [jnp.broadcast_to(pts_pe[:, :, None, :],
                           (r, s, num_views, pts_pe.shape[-1])),
@@ -193,8 +192,12 @@ class StaticAggregator(nn.Module):
 
     src_feat = MLP((256, self.in_feat_ch + 3), dtype=dt, name="ray_dir_fc")(
         jnp.concatenate([src_features, ray_diff], axis=-1))
+    # ref_feature_fc's input is the per-ray Plücker PE broadcast over
+    # samples and views (reference mlp_network.py:434-447);
+    # Dense(broadcast(x)) == broadcast(Dense(x)) — run it on [R,66] and
+    # expand the 35-dim output.
     ref_feat = TorchDense(self.in_feat_ch + 3, dtype=dt,
-                          name="ref_feature_fc")(ref_features)
+                          name="ref_feature_fc")(ref_rays_pe)[:, None, None, :]
 
     rgb_in = rgb_feat[..., :3]
     if self.mask_rgb:
