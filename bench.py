@@ -39,13 +39,16 @@ def main():
   # "pallas" (default) gatherless Pallas kernel | "xla" strip gather |
   # "0" exact per-point gather (parity baseline)
   strip = os.environ.get("DYNIBAR_BENCH_STRIP", "pallas")
+  # fused Pallas aggregator kernels (ops/pallas_agg.py); default on
+  fused_agg = os.environ.get("DYNIBAR_BENCH_FUSED_AGG", "1") == "1"
 
   cfg = RenderSettings(
       n_samples=64, n_importance=64, num_views_dy=7, num_views_anchor=0,
       num_views_static=11, num_vv=0, num_basis=6, inv_uniform=True,
       compute_dtype=compute_dtype, fused_rgb_sampling=fused,
       strip_sampling=strip != "0",
-      strip_impl="xla" if strip == "xla" else "pallas")
+      strip_impl="xla" if strip == "xla" else "pallas",
+      fused_aggregators=fused_agg)
   model = FFModel(cfg=cfg, num_frames=48)
   params = model.init_params(jax.random.PRNGKey(0))
   # scanline rays: the layout full-image eval feeds the render core

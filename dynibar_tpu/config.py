@@ -266,6 +266,13 @@ class RenderSettings:
   # reports a coverage miss through the exact gather program, making
   # strip_sampling bit-correct end to end (render/render_image.py)
   strip_auto_exact: bool = True
+  # fused Pallas aggregator kernels (ops/pallas_agg.py): the whole
+  # view-aggregation network (PEs, trunk, ray transformer, heads) runs
+  # VMEM-resident per ray tile.  Forward-only — eval/render paths use it;
+  # training always takes the flax modules (autodiff).  Matmul accumulation
+  # is f32, so it sits *closer* to the f32 reference than the flax bf16
+  # path it replaces.
+  fused_aggregators: bool = False
 
   @property
   def num_offsets(self) -> int:

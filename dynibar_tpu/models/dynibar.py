@@ -24,6 +24,12 @@ from dynibar_tpu.models.motion_mlp import MotionMLP
 Params = Dict[str, Any]
 
 
+def _pallas_interpret() -> bool:
+  # Mosaic compiles on real TPUs only; interpret keeps the CPU test mesh
+  # working (same convention as core/projection.py)
+  return jax.default_backend() != "tpu"
+
+
 def _compute_dtype(cfg: RenderSettings):
   return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
@@ -125,6 +131,19 @@ class MonoModel:
     fn = lambda p, *a: self.net_coarse_st.apply({"params": p}, *a)
     return self._maybe_remat(fn)(params["net_coarse_st"], *args)
 
+  def apply_dy_fused(self, params, *args):
+    from dynibar_tpu.ops.pallas_agg import fused_dynamic_aggregator
+    return fused_dynamic_aggregator(
+        params["net_coarse_dy"], *args, shift=self.dy_shift,
+        n_samples=self.cfg.n_samples, interpret=_pallas_interpret())
+
+  def apply_st_fused(self, params, *args):
+    from dynibar_tpu.ops.pallas_agg import fused_static_aggregator
+    return fused_static_aggregator(
+        params["net_coarse_st"], *args,
+        anti_alias_pooling=self.cfg.anti_alias_pooling,
+        mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret())
+
   def apply_motion(self, params, xyzt):
     fn = lambda p, x: self.motion_mlp.apply({"params": p}, x)
     return self._maybe_remat(fn)(params["motion_mlp"], xyzt)
@@ -200,6 +219,21 @@ class FFModel:
   def apply_st(self, params, stage, *args):
     net_st, _ = self._nets(stage == "fine")
     return net_st.apply({"params": params[f"net_{stage}_st"]}, *args)
+
+  def apply_dy_fused(self, params, stage, *args):
+    from dynibar_tpu.ops.pallas_agg import fused_dynamic_aggregator
+    n_total = self.cfg.n_samples + (self.cfg.n_importance
+                                    if stage == "fine" else 0)
+    return fused_dynamic_aggregator(
+        params[f"net_{stage}_dy"], *args, shift=0.0, n_samples=n_total,
+        interpret=_pallas_interpret())
+
+  def apply_st_fused(self, params, stage, *args):
+    from dynibar_tpu.ops.pallas_agg import fused_static_aggregator
+    return fused_static_aggregator(
+        params[f"net_{stage}_st"], *args,
+        anti_alias_pooling=self.cfg.anti_alias_pooling,
+        mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret())
 
   def apply_motion(self, params, stage, xyzt):
     key = "motion_mlp_fine" if stage == "fine" else "motion_mlp"

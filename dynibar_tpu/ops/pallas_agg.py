@@ -1,0 +1,567 @@
+"""Fused IBR view-aggregation: one Pallas TPU kernel per aggregator.
+
+The four aggregator invocations are ~2/3 of the eval render step
+(scripts/profile_breakdown.py: 300 ms of 457 ms per 4096-ray chunk), yet
+their MXU work is ~12 ms — XLA round-trips every [rays, samples, views,
+128..256] intermediate through HBM.  This kernel runs the ENTIRE
+aggregator — positional encodings, the per-view trunk
+(reference mlp_network.py:434-496 / :240-283), both weighted mean/variance
+poolings, the ray transformer (:13-104) and the sigma/RGB heads — for a
+tile of rays without ever leaving VMEM, reading only the packed per-view
+inputs and writing only raw [N, 4].
+
+Layout: everything is *feature-major* — activations are [C, N] with
+N = G rays x S samples on lanes and channels on sublanes; weights are
+passed transposed [out, in] so every dense layer is one MXU dot with no
+relayouts.  The view axis is a static python loop (7-14 iterations) over
+VMEM-stashed per-view activations; view reductions (mean/var, softmax
+blending) are loop-carried accumulators.
+
+The ray transformer runs as ONE masked attention over all N lane points:
+a block-diagonal mask (-1e9 off-block) restricts attention to each ray's
+own S samples, which is exactly the per-ray softmax (off-block scores
+underflow to 0 after the row-max subtraction); the reference's
+query-row masking semantics (invalid queries attend uniformly,
+mlp_network.py:23-24) fall out of the same trick.
+
+Numerics vs the flax modules (models/aggregators.py, the parity and
+training path): matmuls take bf16 operands with f32 accumulation, and all
+reductions/softmaxes/normalizations run in f32 — slightly *closer* to the
+f32 reference than the flax bf16 path, which keeps bf16 intermediates.
+Forward-only (no VJP): the render cores use it for eval/rendering;
+training keeps the flax modules.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dynibar_tpu.core.posenc import sample_axis_posenc
+
+_N_TARGET = 512    # lanes per grid step (points)
+_GEO_FREQS = tuple(float(2.0 ** e) for e in range(5))  # max_freq=5, n_freq=5
+
+
+# --------------------------------------------------------------------------
+# in-kernel building blocks (feature-major [C, N])
+# --------------------------------------------------------------------------
+
+
+def _elu(x: jnp.ndarray) -> jnp.ndarray:
+  """ELU(alpha=1) in f32.  jax.nn.elu lowers through expm1, which Mosaic
+  does not implement; exp(x)-1 differs by <1 f32 ulp at these magnitudes."""
+  return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+def _sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+  return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def _pe_rows(x: jnp.ndarray, freqs) -> jnp.ndarray:
+  """Periodic embed, feature-major: [C,N] f32 -> [C*(2F+1), N] f32.
+
+  Row layout matches core/posenc.periodic_embed: [x, cos(f0 x)..(f-major,
+  channel-minor), sin(...)]."""
+  rows = [x]
+  rows += [jnp.cos(f * x) for f in freqs]
+  rows += [jnp.sin(f * x) for f in freqs]
+  return jnp.concatenate(rows, axis=0)
+
+
+def _dense(wt_ref, b_ref, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+  """[O,I] (bf16) x [I,N] (bf16) + [O,1] (f32) -> [O,N] f32."""
+  w = wt_ref[...]
+  if interpret:  # host dot thunk cannot mix bf16 operands w/ f32 accum
+    w = w.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+  else:
+    x = x.astype(w.dtype)
+  y = lax.dot_general(w, x, (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32)
+  if b_ref is not None:
+    y = y + b_ref[...]
+  return y
+
+
+def _mlp2(w0, b0, w1, b1, x, interpret, final_act):
+  h = _elu(_dense(w0, b0, x, interpret)).astype(jnp.bfloat16)
+  y = _dense(w1, b1, h, interpret)
+  return _elu(y) if final_act else y
+
+
+def _attention(ws, gf_bf, numvalid, s_block: int, interpret: bool):
+  """Ray transformer over [128, N] feature-major activations.
+
+  ws: (wq, wk, wv, wfc, ln_scale, ln_bias) refs.  gf_bf [128,N] bf16.
+  numvalid [1,N] f32.  s_block: samples per ray (block-diagonal extent).
+  """
+  wq, wk, wv, wfc, ln_s, ln_b = ws
+  n = gf_bf.shape[1]
+  q = _dense(wq, None, gf_bf, interpret).astype(jnp.bfloat16)   # [128,N]
+  k = _dense(wk, None, gf_bf, interpret).astype(jnp.bfloat16)
+  v = _dense(wv, None, gf_bf, interpret).astype(jnp.bfloat16)
+
+  blk_q = lax.broadcasted_iota(jnp.int32, (n, n), 0) // s_block
+  blk_k = lax.broadcasted_iota(jnp.int32, (n, n), 1) // s_block
+  same_ray = blk_q == blk_k
+  # query-row mask (reference mlp_network.py:23-24): invalid queries get
+  # uniform in-block attention; off-block entries sit ~1e9 lower still, so
+  # they underflow to exactly 0 after the row-max subtraction.  The [N,1]
+  # column comes from a dot (Mosaic cannot transpose i1 vectors): the -1e9
+  # is ADDED, which absorbs the O(10) logits into -1e9 in f32.
+  qmask_row = (numvalid <= 1.0).astype(jnp.float32)             # [1,N]
+  qmask_col = lax.dot_general(
+      qmask_row, jnp.ones((1, 1), jnp.float32), (((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                       # [N,1]
+  o_parts = []
+  for h in range(4):
+    qh = q[32 * h:32 * h + 32, :]
+    kh = k[32 * h:32 * h + 32, :]
+    vh = v[32 * h:32 * h + 32, :]
+    if interpret:
+      qh, kh, vh = (a.astype(jnp.float32) for a in (qh, kh, vh))
+    logits = lax.dot_general(
+        qh, kh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * (1.0 / np.sqrt(32.0))
+    logits = logits + qmask_col * -1e9                          # [Nq,Nk]
+    logits = jnp.where(same_ray, logits, -2e9)
+    p = jax.nn.softmax(logits, axis=1)
+    p = p.astype(jnp.float32 if interpret else jnp.bfloat16)
+    o_parts.append(lax.dot_general(
+        vh, p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32))                    # [32,Nq]
+  o = jnp.concatenate(o_parts, axis=0).astype(jnp.bfloat16)     # [128,N]
+  o = _dense(wfc, None, o, interpret)                           # f32
+  o = o + gf_bf.astype(jnp.float32)                             # residual
+  mu = jnp.mean(o, axis=0, keepdims=True)
+  var = jnp.mean((o - mu) ** 2, axis=0, keepdims=True)
+  o = (o - mu) * lax.rsqrt(var + 1e-6)
+  return o * ln_s[...] + ln_b[...]                              # [128,N] f32
+
+
+def _vis_pooling(ws, get_rf, get_w, n_views, n, interpret,
+                 x_s, vis_s, w2_s):
+  """Shared trunk (reference mlp_network.py:270-283 / :483-496).
+
+  ws: 16 weight refs (base_fc, vis_fc, vis_fc2, geometry_fc).
+  get_rf(v) -> [Cf,N] bf16 per-view feature; get_w(v) -> [1,N] f32 weight;
+  stashes x [V,128,N] bf16 + vis [V,1,N] into scratch; returns gf [128,N]
+  f32 (geometry_fc output, pre-transformer).
+  """
+  (b_w0, b_b0, b_w1, b_b1, v_w0, v_b0, v_w1, v_b1,
+   v2_w0, v2_b0, v2_w1, v2_b1, g_w0, g_b0, g_w1, g_b1) = ws
+
+  cf = get_rf(0).shape[0]
+  mean = jnp.zeros((cf, n), jnp.float32)
+  for vi in range(n_views):
+    mean = mean + get_w(vi) * get_rf(vi).astype(jnp.float32)
+  var = jnp.zeros((cf, n), jnp.float32)
+  for vi in range(n_views):
+    var = var + get_w(vi) * (get_rf(vi).astype(jnp.float32) - mean) ** 2
+  gfeat0 = jnp.concatenate([mean, var], axis=0).astype(jnp.bfloat16)
+
+  vsum = jnp.zeros((1, n), jnp.float32)
+  for vi in range(n_views):
+    xin = jnp.concatenate([gfeat0, get_rf(vi)], axis=0)         # [2Cf+Cf,N]
+    x = _mlp2(b_w0, b_b0, b_w1, b_b1, xin, interpret, True)     # [128,N] f32
+    xw = (x * get_w(vi)).astype(jnp.bfloat16)
+    t = _mlp2(v_w0, v_b0, v_w1, v_b1, xw, interpret, True)      # [129,N]
+    x = x + t[:128, :]
+    vis0 = _sigmoid(t[128:129, :]) * vis_s[vi, 1:2, :]    # * mask
+    xv = (x * vis0).astype(jnp.bfloat16)
+    vh = _mlp2(v2_w0, v2_b0, v2_w1, v2_b1, xv, interpret, False)  # [1,N]
+    vis = _sigmoid(vh) * vis_s[vi, 1:2, :]
+    x_s[vi] = x.astype(jnp.bfloat16)
+    vis_s[vi, 0:1, :] = vis
+    vsum = vsum + vis
+
+  inv = 1.0 / (vsum + 1e-8)
+  mean2 = jnp.zeros((128, n), jnp.float32)
+  wmean = jnp.zeros((1, n), jnp.float32)
+  for vi in range(n_views):
+    w2 = vis_s[vi, 0:1, :] * inv
+    w2_s[vi, 0:1, :] = w2
+    mean2 = mean2 + w2 * x_s[vi].astype(jnp.float32)
+    wmean = wmean + w2
+  wmean = wmean * (1.0 / n_views)
+  var2 = jnp.zeros((128, n), jnp.float32)
+  for vi in range(n_views):
+    var2 = var2 + w2_s[vi, 0:1, :] * (
+        x_s[vi].astype(jnp.float32) - mean2) ** 2
+  gf_in = jnp.concatenate(
+      [mean2, var2, wmean], axis=0).astype(jnp.bfloat16)        # [257,N]
+  return _mlp2(g_w0, g_b0, g_w1, g_b1, gf_in, interpret, True)  # [128,N]
+
+
+# --------------------------------------------------------------------------
+# static aggregator kernel
+# --------------------------------------------------------------------------
+
+
+def _static_kernel(pp_ref, reffeat_ref, pv_ref, srcpl_ref, s_ref,
+                   *refs, n_views: int, feat_ch: int, s_block: int,
+                   anti_alias: bool, mask_rgb: bool, interpret: bool):
+  ws = refs[:36]
+  out_ref = refs[36]
+  rf_s, x_s, vis_s, w2_s, ed_s, lg_s = refs[37:]
+  n = pv_ref.shape[2]
+  f = feat_ch
+
+  pts_pe = _pe_rows(pp_ref[0:3, :], _GEO_FREQS).astype(jnp.bfloat16)
+
+  # ---- pass A: per-view input features + masks + AA scores ----
+  for vi in range(n_views):
+    rgb_in = pv_ref[vi, 0:3, :]
+    m = pv_ref[vi, 7 + f:8 + f, :].astype(jnp.float32)
+    if mask_rgb:
+      rgb_sum = jnp.sum(rgb_in.astype(jnp.float32), axis=0, keepdims=True)
+      m = m * (rgb_sum > 1e-3).astype(jnp.float32)
+    vis_s[vi, 1:2, :] = m                                       # mask slot
+    src_pe = _pe_rows(srcpl_ref[vi, 0:6, :], _GEO_FREQS).astype(jnp.bfloat16)
+    rd = pv_ref[vi, 3 + f:7 + f, :]
+    h = jnp.concatenate([pts_pe, src_pe, rd], axis=0)           # [103,N]
+    sf = _mlp2(ws[0], ws[1], ws[2], ws[3], h, interpret, False)  # [35,N]
+    rf = jnp.concatenate(
+        [pv_ref[vi, 0:3 + f, :].astype(jnp.float32),
+         sf * reffeat_ref[...].astype(jnp.float32)], axis=0)
+    rf_s[vi] = rf.astype(jnp.bfloat16)                          # [2f+6,N]
+    if anti_alias:
+      dot = rd[3:4, :].astype(jnp.float32)
+      ed_s[vi, 0:1, :] = jnp.exp(jnp.abs(s_ref[0, 0]) * (dot - 1.0))
+
+  # ---- pooling weights ----
+  if anti_alias:
+    emin = ed_s[0, 0:1, :]
+    for vi in range(1, n_views):
+      emin = jnp.minimum(emin, ed_s[vi, 0:1, :])
+    wsum = jnp.zeros_like(emin)
+    for vi in range(n_views):
+      ed_s[vi, 1:2, :] = (ed_s[vi, 0:1, :] - emin) * vis_s[vi, 1:2, :]
+      wsum = wsum + ed_s[vi, 1:2, :]
+    winv = 1.0 / (wsum + 1e-8)
+    get_w = lambda vi: ed_s[vi, 1:2, :] * winv
+  else:
+    msum = jnp.zeros((1, n), jnp.float32)
+    for vi in range(n_views):
+      msum = msum + vis_s[vi, 1:2, :]
+    minv = 1.0 / (msum + 1e-8)
+    get_w = lambda vi: vis_s[vi, 1:2, :] * minv
+
+  gf = _vis_pooling(ws[4:20], lambda vi: rf_s[vi], get_w, n_views, n,
+                    interpret, x_s, vis_s, w2_s)
+
+  numvalid = jnp.zeros((1, n), jnp.float32)
+  for vi in range(n_views):
+    numvalid = numvalid + vis_s[vi, 1:2, :]
+
+  gf = _attention(ws[20:26], gf.astype(jnp.bfloat16), numvalid, s_block,
+                  interpret)
+  gf_bf = gf.astype(jnp.bfloat16)
+
+  sigma = _mlp2(ws[26], ws[27], ws[28], ws[29], gf_bf, interpret, False)
+  sigma = jnp.where(numvalid < 1.0, -1e9, sigma)                # [1,N]
+
+  # ---- RGB head: per-view blending logits -> softmax over views ----
+  lmax = jnp.full((1, n), -jnp.inf, jnp.float32)
+  for vi in range(n_views):
+    h = jnp.concatenate(
+        [gf_bf, x_s[vi][...], vis_s[vi, 0:1, :].astype(jnp.bfloat16),
+         pv_ref[vi, 3 + f:7 + f, :]], axis=0)                   # [261,N]
+    h1 = _elu(_dense(ws[30], ws[31], h, interpret)).astype(jnp.bfloat16)
+    h2 = _elu(_dense(ws[32], ws[33], h1, interpret)).astype(
+        jnp.bfloat16)
+    logit = _dense(ws[34], ws[35], h2, interpret)               # [1,N]
+    logit = jnp.where(vis_s[vi, 1:2, :] == 0.0, -1e9, logit)
+    lg_s[vi, 0:1, :] = logit
+    lmax = jnp.maximum(lmax, logit)
+  bsum = jnp.zeros((1, n), jnp.float32)
+  rgb = jnp.zeros((3, n), jnp.float32)
+  for vi in range(n_views):
+    b = jnp.exp(lg_s[vi, 0:1, :] - lmax)
+    bsum = bsum + b
+    rgb = rgb + b * pv_ref[vi, 0:3, :].astype(jnp.float32)
+  rgb = rgb / bsum
+
+  out_ref[0:3, :] = rgb
+  out_ref[3:4, :] = sigma
+
+
+# --------------------------------------------------------------------------
+# dynamic aggregator kernel
+# --------------------------------------------------------------------------
+
+
+def _dynamic_kernel(pp_ref, dirfeat_ref, dirpe_ref, posenc_ref, pv_ref,
+                    *refs, n_views: int, feat_ch: int, s_block: int,
+                    shift: float, interpret: bool):
+  ws = refs[:36]
+  out_ref = refs[36]
+  rf_s, x_s, vis_s, w2_s = refs[37:]
+  n = pv_ref.shape[2]
+  f = feat_ch
+
+  # ---- per-view features: rgb_feat + broadcast direction feature ----
+  msum = jnp.zeros((1, n), jnp.float32)
+  for vi in range(n_views):
+    m = pv_ref[vi, 3 + f:4 + f, :].astype(jnp.float32)
+    vis_s[vi, 1:2, :] = m
+    msum = msum + m
+    rf_s[vi] = pv_ref[vi, 0:3 + f, :] + dirfeat_ref[...]
+  minv = 1.0 / (msum + 1e-8)
+  get_w = lambda vi: vis_s[vi, 1:2, :] * minv
+
+  gf = _vis_pooling(ws[:16], lambda vi: rf_s[vi][...], get_w, n_views, n,
+                    interpret, x_s, vis_s, w2_s)
+
+  gf = gf + posenc_ref[...]                                     # sample PE
+  gf = _attention(ws[16:22], gf.astype(jnp.bfloat16), msum, s_block,
+                  interpret)
+
+  pts_pe = _pe_rows(pp_ref[0:3, :], _GEO_FREQS).astype(jnp.bfloat16)
+  gf = _mlp2(ws[22], ws[23], ws[24], ws[25],
+             jnp.concatenate([gf.astype(jnp.bfloat16), pts_pe], axis=0),
+             interpret, True)                                   # ref_pts_fc
+  gf_bf = gf.astype(jnp.bfloat16)
+
+  sigma = _mlp2(ws[26], ws[27], ws[28], ws[29], gf_bf, interpret,
+                False) - shift
+  sigma = jnp.where(msum < 1.0, -1e9, sigma)
+
+  h = jnp.concatenate([gf_bf, dirpe_ref[...]], axis=0)          # [155,N]
+  h = _elu(_dense(ws[30], ws[31], h, interpret)).astype(jnp.bfloat16)
+  h = _elu(_dense(ws[32], ws[33], h, interpret)).astype(jnp.bfloat16)
+  rgb = _sigmoid(_dense(ws[34], ws[35], h, interpret))    # [3,N]
+  rgb = jnp.where(msum > 0.0, rgb, 0.0)
+
+  out_ref[0:3, :] = rgb
+  out_ref[3:4, :] = sigma
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers
+# --------------------------------------------------------------------------
+
+
+def _wt(p: Dict[str, Any], *path):
+  w = p
+  for k in path:
+    w = w[k]
+  return jnp.transpose(w).astype(jnp.bfloat16)
+
+
+def _b(p: Dict[str, Any], *path):
+  w = p
+  for k in path:
+    w = w[k]
+  return w.astype(jnp.float32)[:, None]
+
+
+def _mlp_ws(p, name):
+  return [_wt(p, name, "dense_0", "kernel"), _b(p, name, "dense_0", "bias"),
+          _wt(p, name, "dense_1", "kernel"), _b(p, name, "dense_1", "bias")]
+
+
+def _mlp3_ws(p, name):
+  return (_mlp_ws(p, name)
+          + [_wt(p, name, "dense_2", "kernel"),
+             _b(p, name, "dense_2", "bias")])
+
+
+def _pooling_ws(p):
+  vp = p["vis_pooling"]
+  return (_mlp_ws(vp, "base_fc") + _mlp_ws(vp, "vis_fc")
+          + _mlp_ws(vp, "vis_fc2") + _mlp_ws(vp, "geometry_fc"))
+
+
+def _attn_ws(p):
+  a = p["ray_attention"]
+  return [_wt(a, "w_qs", "kernel"), _wt(a, "w_ks", "kernel"),
+          _wt(a, "w_vs", "kernel"), _wt(a, "fc", "kernel"),
+          _b(a, "layer_norm", "scale"), _b(a, "layer_norm", "bias")]
+
+
+def _tile_layout(r: int, s: int):
+  g = max(1, _N_TARGET // s)
+  r_pad = (-r) % g
+  return g, r_pad, g * s
+
+
+def _to_feature_major(x: jnp.ndarray, r_pad: int) -> jnp.ndarray:
+  """[R,S,V,C] -> [V, C, (R+pad)*S] (padded rays are zeros -> mask 0)."""
+  if r_pad:
+    x = jnp.pad(x, ((0, r_pad), (0, 0), (0, 0), (0, 0)))
+  v, c = x.shape[2], x.shape[3]
+  return jnp.transpose(x, (2, 3, 0, 1)).reshape(v, c, -1)
+
+
+def _point_major(x: jnp.ndarray, r_pad: int) -> jnp.ndarray:
+  """[R,S,C] -> [C, (R+pad)*S], lanes ordered ray-major."""
+  if r_pad:
+    x = jnp.pad(x, ((0, r_pad), (0, 0), (0, 0)))
+  return jnp.transpose(x, (2, 0, 1)).reshape(x.shape[2], -1)
+
+
+def _full_spec(arrs):
+  return [pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                       memory_space=pltpu.VMEM) for a in arrs]
+
+
+def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
+                            rgb_feat, glb_ray_dir, ray_diff, mask, *,
+                            anti_alias_pooling: bool = True,
+                            mask_rgb: bool = True,
+                            interpret: bool = False) -> jnp.ndarray:
+  """Drop-in fused forward of models.aggregators.StaticAggregator.
+
+  Same array arguments as the flax module's __call__ (glb_ray_dir accepted
+  for parity, unused — reference never reads it); returns raw [R,S,4].
+  """
+  del glb_ray_dir
+  from dynibar_tpu.core.posenc import periodic_embed
+  r, s, v, cfull = rgb_feat.shape
+  f = cfull - 3
+  g, r_pad, n_t = _tile_layout(r, s)
+  n = (r + r_pad) * s
+
+  ref_pe = periodic_embed(ref_pl, max_freq=5, n_freq=5,
+                          linspace=False).astype(jnp.bfloat16)  # [R,66]
+  rk = p["ref_feature_fc"]
+  reffeat = (ref_pe @ rk["kernel"].astype(jnp.bfloat16)
+             + rk["bias"].astype(jnp.bfloat16))                 # [R,35]
+  reffeat = jnp.broadcast_to(reffeat[:, None, :], (r, s, f + 3))
+  reffeat = _point_major(reffeat.astype(jnp.bfloat16), r_pad)   # [35,N]
+
+  pv = jnp.concatenate(
+      [rgb_feat.astype(jnp.bfloat16), ray_diff.astype(jnp.bfloat16),
+       mask.astype(jnp.bfloat16)], axis=-1)                     # [R,S,V,f+8]
+  pv = _to_feature_major(pv, r_pad)
+  srcpl = _to_feature_major(src_pl.astype(jnp.float32), r_pad)
+  pp = _point_major(pts.astype(jnp.float32), r_pad)             # [3,N]
+  s_par = jnp.asarray(p["s"] if anti_alias_pooling else 0.0,
+                      jnp.float32).reshape(1, 1)
+
+  ws = (_mlp_ws(p, "ray_dir_fc") + _pooling_ws(p) + _attn_ws(p)
+        + _mlp_ws(p, "out_geometry_fc") + _mlp3_ws(p, "rgb_fc"))
+
+  kernel = functools.partial(
+      _static_kernel, n_views=v, feat_ch=f, s_block=s,
+      anti_alias=anti_alias_pooling, mask_rgb=mask_rgb, interpret=interpret)
+
+  grid = (n // n_t,)
+  in_specs = [
+      pl.BlockSpec((3, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+      pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((v, f + 8, n_t), lambda i: (0, 0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((v, 6, n_t), lambda i: (0, 0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+  ] + _full_spec(ws)
+
+  out = pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((4, n_t), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((v, 2 * f + 6, n_t), jnp.bfloat16),   # rf
+          pltpu.VMEM((v, 128, n_t), jnp.bfloat16),         # x
+          pltpu.VMEM((v, 8, n_t), jnp.float32),            # vis(0)/mask(1)
+          pltpu.VMEM((v, 8, n_t), jnp.float32),            # w2
+          pltpu.VMEM((v, 8, n_t), jnp.float32),            # AA scores
+          pltpu.VMEM((v, 8, n_t), jnp.float32),            # blend logits
+      ],
+      interpret=interpret,
+  )(pp, reffeat, pv, srcpl, s_par, *ws)
+
+  raw = out.reshape(4, r + r_pad, s)[:, :r]
+  return jnp.transpose(raw, (1, 2, 0))
+
+
+def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
+                             ray_diff, time_diff, mask, time, *,
+                             shift: float = 0.0, n_samples: int = 64,
+                             interpret: bool = False) -> jnp.ndarray:
+  """Drop-in fused forward of models.aggregators.DynamicAggregator.
+
+  Same array arguments as the flax module's __call__ (ray_diff/time_diff
+  accepted for parity; the reference forward never reads them); returns
+  raw [R,S,4].
+  """
+  del ray_diff, time_diff
+  from dynibar_tpu.core.posenc import periodic_embed
+  r, s, v, cfull = rgb_feat.shape
+  f = cfull - 3
+  g, r_pad, n_t = _tile_layout(r, s)
+  n = (r + r_pad) * s
+
+  # direction (time) feature: MLP(broadcast(t)) == broadcast(MLP(t)) — run
+  # on [R,S,·] outside, feed per-point (reference mlp_network.py:240-247)
+  time_pe = periodic_embed(time, max_freq=10, n_freq=10,
+                           linspace=False).astype(jnp.bfloat16)
+  rdw = p["ray_dir_fc"]
+  h = _elu(time_pe @ rdw["dense_0"]["kernel"].astype(jnp.bfloat16)
+                 + rdw["dense_0"]["bias"].astype(jnp.bfloat16))
+  dirfeat = _elu(h @ rdw["dense_1"]["kernel"].astype(jnp.bfloat16)
+                       + rdw["dense_1"]["bias"].astype(jnp.bfloat16))
+  dirfeat = _point_major(dirfeat, r_pad)                        # [35,N]
+
+  dir_pe = periodic_embed(glb_ray_dir, max_freq=4, n_freq=4,
+                          linspace=False).astype(jnp.bfloat16)  # [R,27]
+  dir_pe = jnp.broadcast_to(dir_pe[:, None, :], (r, s, dir_pe.shape[-1]))
+  dirpe = _point_major(dir_pe, r_pad)
+
+  pe_tile = jnp.asarray(sample_axis_posenc(128, n_samples)[:s].T)
+  pe_tile = jnp.tile(pe_tile, (1, n_t // s))                    # [128,n_t]
+
+  pv = jnp.concatenate([rgb_feat.astype(jnp.bfloat16),
+                        mask.astype(jnp.bfloat16)], axis=-1)
+  pv = _to_feature_major(pv, r_pad)                             # [V,f+4,N]
+  pp = _point_major(pts.astype(jnp.float32), r_pad)
+
+  ws = (_pooling_ws(p) + _attn_ws(p) + _mlp_ws(p, "ref_pts_fc")
+        + _mlp_ws(p, "out_geometry_fc") + _mlp3_ws(p, "rgb_fc"))
+
+  kernel = functools.partial(
+      _dynamic_kernel, n_views=v, feat_ch=f, s_block=s, shift=shift,
+      interpret=interpret)
+
+  in_specs = [
+      pl.BlockSpec((3, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+      pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((27, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+      pl.BlockSpec((128, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((v, f + 4, n_t), lambda i: (0, 0, i),
+                   memory_space=pltpu.VMEM),
+  ] + _full_spec(ws)
+
+  out = pl.pallas_call(
+      kernel,
+      grid=(n // n_t,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((4, n_t), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((v, f + 3, n_t), jnp.bfloat16),       # rf
+          pltpu.VMEM((v, 128, n_t), jnp.bfloat16),         # x
+          pltpu.VMEM((v, 8, n_t), jnp.float32),            # vis(0)/mask(1)
+          pltpu.VMEM((v, 8, n_t), jnp.float32),            # w2
+      ],
+      interpret=interpret,
+  )(pp, dirfeat, dirpe, pe_tile, pv, *ws)
+
+  raw = out.reshape(4, r + r_pad, s)[:, :r]
+  return jnp.transpose(raw, (1, 2, 0))

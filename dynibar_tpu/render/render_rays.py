@@ -59,6 +59,16 @@ def _broadcast_time(t: jnp.ndarray, n_rays: int, n_samples: int):
   return jnp.broadcast_to(jnp.reshape(t, (1, 1, 1)), (n_rays, n_samples, 1))
 
 
+def _agg_fns(model, cfg: RenderSettings, is_train: bool):
+  """Aggregator dispatch: fused Pallas kernels (forward-only, bf16 MXU
+  passes) for eval/render; flax modules for training (autodiff) and for
+  f32 bit-parity mode."""
+  if (cfg.fused_aggregators and not is_train
+      and cfg.compute_dtype == "bfloat16"):
+    return model.apply_dy_fused, model.apply_st_fused
+  return model.apply_dy, model.apply_st
+
+
 def _strip_arg(cfg: RenderSettings, is_train: bool = False):
   """Epipolar-strip extents for the featmap lookup, or None.
 
@@ -151,13 +161,14 @@ def render_rays_mono(
 
   time_diff = jnp.zeros(ray_diff_ref.shape[:3] + (1,))  # unused by the net
 
-  raw_dy = model.apply_dy(
+  apply_dy, apply_st = _agg_fns(model, cfg, is_train)
+  raw_dy = apply_dy(
       params, pts_ref, rgb_feat_ref, input_ray_dir, ray_diff_ref,
       time_diff, mask_ref, ref_time_emb)                       # [R,S,4]
 
   ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
   src_pl = proj.src_plucker(pts_ref, rb["static_src_cameras"])
-  raw_st = model.apply_st(
+  raw_st = apply_st(
       params, pts_ref, ref_pl, src_pl, rgb_feat_st, input_ray_dir,
       ray_diff_st, mask_st)
 
@@ -265,7 +276,8 @@ def render_rays_mono(
 
 
 def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
-                     s_vals, input_ray_dir, num_frames, cov_out=None):
+                     s_vals, input_ray_dir, num_frames, cov_out=None,
+                     is_train=False):
   """Shared coarse/fine forward of the forward-facing model
   (reference fine_render_rays, render_ray.py:407-597)."""
   w = cfg.traj_window
@@ -300,12 +312,13 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
   # dynamic net but kept for interface parity)
   time_diff = jnp.zeros(ray_diff.shape[:3] + (1,))
 
-  raw_dy = model.apply_dy(params, stage, pts, rgb_feat, input_ray_dir,
-                          ray_diff, time_diff, mask, time_emb)
+  apply_dy, apply_st = _agg_fns(model, cfg, is_train)
+  raw_dy = apply_dy(params, stage, pts, rgb_feat, input_ray_dir,
+                    ray_diff, time_diff, mask, time_emb)
   ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
   src_pl = proj.src_plucker(pts, rb["static_src_cameras"])
-  raw_st = model.apply_st(params, stage, pts, ref_pl, src_pl, rgb_feat_st,
-                          input_ray_dir, ray_diff_st, mask_st)
+  raw_st = apply_st(params, stage, pts, ref_pl, src_pl, rgb_feat_st,
+                    input_ray_dir, ray_diff_st, mask_st)
 
   outputs = comp.composite_dual(raw_dy, raw_st, z_vals, pixel_mask,
                                 pixel_mask_st)

@@ -1,0 +1,170 @@
+"""Fused Pallas aggregators (ops/pallas_agg.py) vs the flax modules.
+
+The fused kernels accumulate matmuls in f32, so they should sit at least
+as close to the f32 flax reference as the flax bf16 path does; tolerances
+below are calibrated to ~2x the observed bf16-path error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynibar_tpu.config import RenderSettings
+from dynibar_tpu.models.aggregators import DynamicAggregator, StaticAggregator
+from dynibar_tpu.ops.pallas_agg import (fused_dynamic_aggregator,
+                                        fused_static_aggregator)
+
+R, S, V, F = 6, 16, 5, 32
+
+
+@pytest.fixture(scope="module")
+def inputs():
+  ks = jax.random.split(jax.random.PRNGKey(0), 10)
+  return dict(
+      pts=jax.random.normal(ks[0], (R, S, 3)),
+      ref_pl=jax.random.normal(ks[1], (R, 6)),
+      src_pl=jax.random.normal(ks[2], (R, S, V, 6)),
+      rgb_feat=jax.random.uniform(ks[3], (R, S, V, F + 3)),
+      ray_dir=jax.random.normal(ks[4], (R, 3)),
+      ray_diff=jax.random.normal(ks[5], (R, S, V, 4)) * 0.1,
+      time_diff=jnp.zeros((R, S, V, 1)),
+      mask=(jax.random.uniform(ks[6], (R, S, V, 1)) > 0.2)
+      .astype(jnp.float32),
+      time=jnp.full((R, S, 1), 0.37),
+      k_st=ks[7], k_dy=ks[8],
+  )
+
+
+def _static_pair(inputs, dt, **kw):
+  st = StaticAggregator(in_feat_ch=F, n_samples=S, compute_dtype=dt, **kw)
+  p = st.init(inputs["k_st"], inputs["pts"], inputs["ref_pl"],
+              inputs["src_pl"], inputs["rgb_feat"], inputs["ray_dir"],
+              inputs["ray_diff"], inputs["mask"])["params"]
+  ref = st.apply({"params": p}, inputs["pts"], inputs["ref_pl"],
+                 inputs["src_pl"], inputs["rgb_feat"], inputs["ray_dir"],
+                 inputs["ray_diff"], inputs["mask"])
+  return p, np.asarray(ref, np.float32)
+
+
+def _dynamic_pair(inputs, dt, shift=5.0):
+  dy = DynamicAggregator(in_feat_ch=F, n_samples=S, shift=shift,
+                         compute_dtype=dt)
+  p = dy.init(inputs["k_dy"], inputs["pts"], inputs["rgb_feat"],
+              inputs["ray_dir"], inputs["ray_diff"], inputs["time_diff"],
+              inputs["mask"], inputs["time"])["params"]
+  ref = dy.apply({"params": p}, inputs["pts"], inputs["rgb_feat"],
+                 inputs["ray_dir"], inputs["ray_diff"],
+                 inputs["time_diff"], inputs["mask"], inputs["time"])
+  return p, np.asarray(ref, np.float32)
+
+
+@pytest.mark.parametrize("aa,mrgb", [(True, True), (False, False)])
+def test_fused_static_matches_flax(inputs, aa, mrgb):
+  p, ref_f32 = _static_pair(inputs, None, anti_alias_pooling=aa,
+                            mask_rgb=mrgb)
+  got = np.asarray(fused_static_aggregator(
+      p, inputs["pts"], inputs["ref_pl"], inputs["src_pl"],
+      inputs["rgb_feat"], inputs["ray_dir"], inputs["ray_diff"],
+      inputs["mask"], anti_alias_pooling=aa, mask_rgb=mrgb,
+      interpret=True), np.float32)
+  assert got.shape == (R, S, 4)
+  assert np.isfinite(got[..., :3]).all()
+  np.testing.assert_allclose(got, ref_f32, atol=2e-2, rtol=2e-2)
+
+
+def test_fused_dynamic_matches_flax(inputs):
+  p, ref_f32 = _dynamic_pair(inputs, None)
+  got = np.asarray(fused_dynamic_aggregator(
+      p, inputs["pts"], inputs["rgb_feat"], inputs["ray_dir"],
+      inputs["ray_diff"], inputs["time_diff"], inputs["mask"],
+      inputs["time"], shift=5.0, n_samples=S, interpret=True), np.float32)
+  assert got.shape == (R, S, 4)
+  np.testing.assert_allclose(got, ref_f32, atol=1e-2, rtol=2e-2)
+
+
+def test_fused_no_worse_than_flax_bf16(inputs):
+  """The fused kernel's f32 accumulation must land at least as close to
+  the f32 reference as the flax bf16 path (modulo a small slack)."""
+  p, ref_f32 = _static_pair(inputs, None)
+  _, ref_bf16 = _static_pair(inputs, jnp.bfloat16)
+  got = np.asarray(fused_static_aggregator(
+      p, inputs["pts"], inputs["ref_pl"], inputs["src_pl"],
+      inputs["rgb_feat"], inputs["ray_dir"], inputs["ray_diff"],
+      inputs["mask"], interpret=True), np.float32)
+  err_fused = np.abs(got - ref_f32).max()
+  err_bf16 = np.abs(ref_bf16 - ref_f32).max()
+  assert err_fused <= 2.0 * err_bf16 + 1e-3
+
+
+def test_fused_dynamic_masked_rows(inputs):
+  """Points with zero valid views: sigma == -1e9, rgb == 0 (reference
+  mlp_network.py:139,150-151 semantics)."""
+  mask = inputs["mask"].at[2].set(0.0)
+  p, _ = _dynamic_pair(inputs, None)
+  got = np.asarray(fused_dynamic_aggregator(
+      p, inputs["pts"], inputs["rgb_feat"], inputs["ray_dir"],
+      inputs["ray_diff"], inputs["time_diff"], mask, inputs["time"],
+      shift=5.0, n_samples=S, interpret=True), np.float32)
+  assert (got[2, :, 3] <= -1e8).all()
+  np.testing.assert_array_equal(got[2, :, :3], 0.0)
+
+
+def test_fused_static_masked_views_content_invariant(inputs):
+  """Masked (validity 0) view slots must contribute nothing: corrupting
+  their pixel/feature content cannot change the result (the ragged-view
+  contract, DESIGN.md §1; view COUNT is a compile-time constant, and the
+  reference's mean-over-views terms legitimately depend on it).
+
+  The AA-pooling min runs over all views like the reference
+  (mlp_network.py:465 takes the min before masking), so ray_diff of
+  masked slots stays put — only rgb/features are corrupted.  Points with
+  ZERO valid views blend uniformly over all views by reference semantics
+  (softmax of all -1e9) — keep view 0 valid so every point has one."""
+  mask = inputs["mask"].at[:, :, -1].set(0.0).at[:, :, 0].set(1.0)
+  p, _ = _static_pair(inputs, None)
+  args = dict(rgb_feat=inputs["rgb_feat"], src_pl=inputs["src_pl"])
+  base = np.asarray(fused_static_aggregator(
+      p, inputs["pts"], inputs["ref_pl"], args["src_pl"],
+      args["rgb_feat"], inputs["ray_dir"], inputs["ray_diff"],
+      mask, interpret=True), np.float32)
+  got = np.asarray(fused_static_aggregator(
+      p, inputs["pts"], inputs["ref_pl"],
+      args["src_pl"].at[:, :, -1].set(7.7),
+      args["rgb_feat"].at[:, :, -1].set(0.63),
+      inputs["ray_dir"], inputs["ray_diff"], mask,
+      interpret=True), np.float32)
+  np.testing.assert_allclose(got, base, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_render_core_end_to_end():
+  """render_rays_mv with cfg.fused_aggregators=True matches the flax
+  render within bf16-path tolerance (CPU interpret mode)."""
+  from dynibar_tpu.data.ray_batch import synthetic_ff_batch
+  from dynibar_tpu.models.dynibar import FFModel
+  from dynibar_tpu.render.render_rays import render_rays_mv
+
+  def run(fused):
+    cfg = RenderSettings(
+        n_samples=8, n_importance=8, num_views_dy=7, num_views_anchor=0,
+        num_views_static=4, num_vv=0, num_basis=4, inv_uniform=True,
+        compute_dtype="bfloat16", fused_aggregators=fused)
+    model = FFModel(cfg=cfg, num_frames=48)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
+        cfg, n_rays=4, h=24, w=32, num_frames=48).items()}
+    coarse = (model.apply_feature(params, "feature_net", rb["src_rgbs"])[0],
+              None,
+              model.apply_feature(params, "feature_net",
+                                  rb["static_src_rgbs"])[1])
+    fine = (model.apply_feature(params, "feature_net_fine",
+                                rb["src_rgbs"])[0],
+            None,
+            model.apply_feature(params, "feature_net_fine",
+                                rb["static_src_rgbs"])[1])
+    ret = render_rays_mv(model, params, rb, coarse, fine, cfg, det=True)
+    return np.asarray(ret["outputs_fine_ref"]["rgb"], np.float32)
+
+  flax_rgb = run(False)
+  fused_rgb = run(True)
+  np.testing.assert_allclose(fused_rgb, flax_rgb, atol=3e-2)
