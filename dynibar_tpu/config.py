@@ -141,6 +141,10 @@ class DynibarConfig:
   strip_cols: int = 64
   strip_impl: str = "pallas"
   strip_auto_exact: bool = True
+  # fused Pallas aggregator kernels for eval/render (ops/pallas_agg.py).
+  # Only takes effect with compute_dtype="bfloat16" and outside training
+  # (see render/render_rays._agg_fns), so it is safe to default on.
+  fused_aggregators: bool = True
 
   @classmethod
   def from_file(cls, path: str, **overrides) -> "DynibarConfig":
@@ -210,6 +214,7 @@ class DynibarConfig:
         strip_cols=self.strip_cols,
         strip_impl=self.strip_impl,
         strip_auto_exact=self.strip_auto_exact,
+        fused_aggregators=self.fused_aggregators,
     )
 
 
