@@ -97,6 +97,7 @@ def main():
 
   render_poses = data.render_poses
   num_out = len(render_poses)
+  video_frames = []
   for out_i in range(num_out):
     # wander path orbits one frame; stabilization tracks the video
     idx = config.render_idx if config.render_idx >= 0 else out_i
@@ -122,6 +123,15 @@ def main():
     path = os.path.join(out_dir, f"{out_i:05d}.png")
     imageio.imwrite(path, (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
     print(f"wrote {path}")
+    if config.video_out:
+      video_frames.append(rgb)
+
+  if config.video_out and video_frames:
+    from dynibar_tpu.serve.video import write_mp4
+    vpath = (os.path.join(out_dir, "video.mp4")
+             if config.video_out == "auto" else config.video_out)
+    write_mp4(vpath, video_frames, fps=config.video_fps)
+    print(f"wrote {vpath}")
 
 
 if __name__ == "__main__":

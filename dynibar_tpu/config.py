@@ -145,6 +145,10 @@ class DynibarConfig:
   # Only takes effect with compute_dtype="bfloat16" and outside training
   # (see render/render_rays._agg_fns), so it is safe to default on.
   fused_aggregators: bool = True
+  # cli/render_monocular: also assemble the rendered frames into an mp4
+  # ("auto" = <out_dir>/video.mp4, "" = PNG frames only, like the reference)
+  video_out: str = "auto"
+  video_fps: float = 24.0
 
   @classmethod
   def from_file(cls, path: str, **overrides) -> "DynibarConfig":

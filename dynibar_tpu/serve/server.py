@@ -82,6 +82,9 @@ class _Handler(BaseHTTPRequestHandler):
 
   # ----------------------------------------------------------------- POST
   def do_POST(self):
+    if self.path == "/video":
+      self._do_video()
+      return
     if self.path != "/render":
       self._send_json(404, {"error": f"unknown path {self.path}"})
       return
@@ -108,6 +111,41 @@ class _Handler(BaseHTTPRequestHandler):
           lo, hi = float(img.min()), float(img.max())
           img = (img - lo) / max(hi - lo, 1e-8)
         self._send(200, _encode_png(img), "image/png")
+    except (KeyError, ValueError, TypeError) as e:
+      self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+    except Exception as e:  # noqa: BLE001 — keep the server alive
+      self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+  def _do_video(self):
+    """POST /video -> video/mp4 bytes.
+
+    JSON body, either an explicit path:
+        {"c2ws": [[...4x4...], ...], "frame_idxs": [int, ...]}
+    or a named generator over the loaded scene:
+        {"path": "stabilization" | "wander",
+         "render_idx": int,            (wander center; optional)
+         "num_frames": int}            (wander length; optional)
+    plus common options {"fps": 24, "stride": 1,
+                         "layer": "rgb"|"rgb_dy"|"rgb_st"|"depth"}.
+    """
+    from dynibar_tpu.serve import video as video_lib
+    try:
+      length = int(self.headers.get("Content-Length", "0"))
+      req = json.loads(self.rfile.read(length) or b"{}")
+      if "path" in req:
+        spec = video_lib.named_path(
+            req["path"], self.session.data,
+            render_idx=int(req.get("render_idx", -1)),
+            num_frames=req.get("num_frames"))
+        c2ws, idxs = spec["c2ws"], spec["frame_idxs"]
+      else:
+        c2ws = [np.asarray(p, np.float32) for p in req["c2ws"]]
+        idxs = [int(i) for i in req["frame_idxs"]]
+      frames = self.session.render_path(
+          c2ws, idxs, stride=int(req.get("stride", 1)),
+          layer=req.get("layer", "rgb"))
+      body = video_lib.encode_mp4(frames, fps=float(req.get("fps", 24.0)))
+      self._send(200, body, "video/mp4")
     except (KeyError, ValueError, TypeError) as e:
       self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
     except Exception as e:  # noqa: BLE001 — keep the server alive

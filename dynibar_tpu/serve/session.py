@@ -149,6 +149,29 @@ class RenderSession:
       self.timings["render_s"] += time.perf_counter() - t0
     return out
 
+  def render_path(self, c2ws, frame_idxs, stride: int = 1,
+                  layer: str = "rgb") -> "list[np.ndarray]":
+    """Render a camera path: aligned pose/frame lists -> list of images.
+
+    Feature maps are LRU-cached per frame, so stabilization paths (one new
+    frame per pose) pay one encode per frame and wander paths (one frame,
+    many poses) pay one total.
+    """
+    if len(c2ws) != len(frame_idxs):
+      raise ValueError(f"{len(c2ws)} poses vs {len(frame_idxs)} frame_idxs")
+    frames = []
+    for c2w, idx in zip(c2ws, frame_idxs):
+      out = self.render(np.asarray(c2w, np.float32), int(idx),
+                        stride=stride, layers=layer in ("rgb_dy", "rgb_st"))
+      if layer not in out:
+        raise ValueError(f"unknown layer {layer!r}")
+      img = out[layer]
+      if layer == "depth":
+        lo, hi = float(img.min()), float(img.max())
+        img = (img - lo) / max(hi - lo, 1e-8)
+      frames.append(img)
+    return frames
+
   # ------------------------------------------------------------------- meta
   def meta(self) -> Dict[str, Any]:
     return {

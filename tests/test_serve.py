@@ -93,3 +93,82 @@ def test_http_endpoints(session):
     assert stats["counters"]["renders"] >= 1
   finally:
     httpd.shutdown()
+
+
+def test_encode_mp4_roundtrip(tmp_path):
+  import cv2
+  from dynibar_tpu.serve.video import encode_mp4
+  frames = [np.full((32, 48, 3), i / 5.0, np.float32) for i in range(5)]
+  blob = encode_mp4(frames, fps=10)
+  assert len(blob) > 100
+  p = tmp_path / "v.mp4"
+  p.write_bytes(blob)
+  cap = cv2.VideoCapture(str(p))
+  assert cap.isOpened()
+  n = 0
+  while True:
+    ok, frame = cap.read()
+    if not ok:
+      break
+    assert frame.shape == (32, 48, 3)
+    n += 1
+  cap.release()
+  assert n == 5
+
+
+def test_named_paths(session):
+  from dynibar_tpu.serve.video import named_path
+  stab = named_path("stabilization", session.data)
+  assert len(stab["c2ws"]) == session.data.num_frames
+  assert stab["frame_idxs"] == list(range(session.data.num_frames))
+  # stabilization poses stay orthonormal c2w matrices
+  r = np.asarray(stab["c2ws"][4])[:3, :3]
+  np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+
+  wander = named_path("wander", session.data, render_idx=5, num_frames=7)
+  assert len(wander["c2ws"]) == 7
+  assert wander["frame_idxs"] == [5] * 7
+  with pytest.raises(ValueError):
+    named_path("spiralx", session.data)
+
+
+def test_session_render_path_and_video_endpoint(session):
+  spec_frames = session.render_path(
+      [np.asarray(session.data.c2w[5])] * 2, [5, 5], stride=8)
+  assert len(spec_frames) == 2
+  assert spec_frames[0].shape[-1] == 3
+
+  httpd = make_server(session, "127.0.0.1", 0)
+  t = threading.Thread(target=httpd.serve_forever, daemon=True)
+  t.start()
+  base = f"http://127.0.0.1:{httpd.server_port}"
+  try:
+    body = json.dumps({"path": "wander", "render_idx": 5, "num_frames": 3,
+                       "stride": 8, "fps": 8}).encode()
+    req = urllib.request.Request(f"{base}/video", data=body)
+    with urllib.request.urlopen(req) as resp:
+      assert resp.status == 200
+      assert resp.headers["Content-Type"] == "video/mp4"
+      blob = resp.read()
+    assert len(blob) > 100
+
+    # explicit pose list
+    body = json.dumps({
+        "c2ws": [np.asarray(session.data.c2w[5]).tolist()] * 2,
+        "frame_idxs": [5, 5], "stride": 8}).encode()
+    req = urllib.request.Request(f"{base}/video", data=body)
+    with urllib.request.urlopen(req) as resp:
+      assert resp.status == 200
+
+    # mismatched lengths -> 400
+    body = json.dumps({
+        "c2ws": [np.asarray(session.data.c2w[5]).tolist()],
+        "frame_idxs": [5, 6]}).encode()
+    req = urllib.request.Request(f"{base}/video", data=body)
+    try:
+      urllib.request.urlopen(req)
+      raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+      assert e.code == 400
+  finally:
+    httpd.shutdown()
