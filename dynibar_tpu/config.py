@@ -145,6 +145,8 @@ class DynibarConfig:
   # Only takes effect with compute_dtype="bfloat16" and outside training
   # (see render/render_rays._agg_fns), so it is safe to default on.
   fused_aggregators: bool = True
+  # training too (Pallas primal forward + flax backward); experimental
+  fused_aggregators_train: bool = False
   # cli/render_monocular: also assemble the rendered frames into an mp4
   # ("auto" = <out_dir>/video.mp4, "" = PNG frames only, like the reference)
   video_out: str = "auto"
@@ -219,6 +221,7 @@ class DynibarConfig:
         strip_impl=self.strip_impl,
         strip_auto_exact=self.strip_auto_exact,
         fused_aggregators=self.fused_aggregators,
+        fused_aggregators_train=self.fused_aggregators_train,
     )
 
 
@@ -278,10 +281,15 @@ class RenderSettings:
   # fused Pallas aggregator kernels (ops/pallas_agg.py): the whole
   # view-aggregation network (PEs, trunk, ray transformer, heads) runs
   # VMEM-resident per ray tile.  Forward-only — eval/render paths use it;
-  # training always takes the flax modules (autodiff).  Matmul accumulation
-  # is f32, so it sits *closer* to the f32 reference than the flax bf16
-  # path it replaces.
+  # training takes the flax modules (autodiff) unless
+  # fused_aggregators_train is also set.  Matmul accumulation is f32, so
+  # it sits *closer* to the f32 reference than the flax bf16 path it
+  # replaces.
   fused_aggregators: bool = False
+  # training too: Pallas primal forward + flax-derived backward
+  # (ops/pallas_agg.attach_flax_grad) — gradients identical to the flax
+  # path, primal forward faster and lighter on HBM
+  fused_aggregators_train: bool = False
 
   @property
   def num_offsets(self) -> int:

@@ -144,6 +144,30 @@ class MonoModel:
         anti_alias_pooling=self.cfg.anti_alias_pooling,
         mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret())
 
+  # differentiable fused paths: Pallas forward, flax-derived backward
+  # (ops/pallas_agg.attach_flax_grad) — used by training when
+  # cfg.fused_aggregators_train is set
+  def apply_dy_fused_diff(self, params, *args):
+    import functools
+    from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
+                                            fused_dynamic_aggregator)
+    fused = functools.partial(
+        fused_dynamic_aggregator, shift=self.dy_shift,
+        n_samples=self.cfg.n_samples, interpret=_pallas_interpret())
+    flax = lambda p, *a: self.net_coarse_dy.apply({"params": p}, *a)
+    return attach_flax_grad(fused, flax)(params["net_coarse_dy"], *args)
+
+  def apply_st_fused_diff(self, params, *args):
+    import functools
+    from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
+                                            fused_static_aggregator)
+    fused = functools.partial(
+        fused_static_aggregator,
+        anti_alias_pooling=self.cfg.anti_alias_pooling,
+        mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret())
+    flax = lambda p, *a: self.net_coarse_st.apply({"params": p}, *a)
+    return attach_flax_grad(fused, flax)(params["net_coarse_st"], *args)
+
   def apply_motion(self, params, xyzt):
     fn = lambda p, x: self.motion_mlp.apply({"params": p}, x)
     return self._maybe_remat(fn)(params["motion_mlp"], xyzt)
@@ -234,6 +258,31 @@ class FFModel:
         params[f"net_{stage}_st"], *args,
         anti_alias_pooling=self.cfg.anti_alias_pooling,
         mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret())
+
+  def apply_dy_fused_diff(self, params, stage, *args):
+    import functools
+    from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
+                                            fused_dynamic_aggregator)
+    n_total = self.cfg.n_samples + (self.cfg.n_importance
+                                    if stage == "fine" else 0)
+    fused = functools.partial(fused_dynamic_aggregator, shift=0.0,
+                              n_samples=n_total,
+                              interpret=_pallas_interpret())
+    _, net_dy = self._nets(stage == "fine")
+    flax = lambda p, *a: net_dy.apply({"params": p}, *a)
+    return attach_flax_grad(fused, flax)(params[f"net_{stage}_dy"], *args)
+
+  def apply_st_fused_diff(self, params, stage, *args):
+    import functools
+    from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
+                                            fused_static_aggregator)
+    fused = functools.partial(
+        fused_static_aggregator,
+        anti_alias_pooling=self.cfg.anti_alias_pooling,
+        mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret())
+    net_st, _ = self._nets(stage == "fine")
+    flax = lambda p, *a: net_st.apply({"params": p}, *a)
+    return attach_flax_grad(fused, flax)(params[f"net_{stage}_st"], *args)
 
   def apply_motion(self, params, stage, xyzt):
     key = "motion_mlp_fine" if stage == "fine" else "motion_mlp"

@@ -350,6 +350,35 @@ def _dynamic_kernel(pp_ref, dirfeat_ref, dirpe_ref, posenc_ref, pv_ref,
 # --------------------------------------------------------------------------
 
 
+def attach_flax_grad(fused_fn, flax_fn):
+  """Differentiable fused aggregator: Pallas forward, flax backward.
+
+  Returns f(params, *args) whose primal is `fused_fn` (the VMEM-resident
+  kernel) and whose VJP is `jax.vjp(flax_fn, ...)` — i.e. exactly the
+  gradients the flax module would produce, with the module's forward
+  recomputed inside the backward pass (the rematerialization the training
+  step does anyway, models/dynibar._maybe_remat).  Net effect on a train
+  step: the primal forward gets the kernel's speed and stops storing the
+  [rays, samples, views, 128..256] flax intermediates; gradient math is
+  unchanged.  The ~1e-4 primal deviation (tests/test_pallas_agg.py) is of
+  the same order as the bf16 flax forward's own rounding.
+  """
+  @jax.custom_vjp
+  def f(p, *args):
+    return fused_fn(p, *args)
+
+  def fwd(p, *args):
+    return fused_fn(p, *args), (p, args)
+
+  def bwd(res, cot):
+    p, args = res
+    _, vjp = jax.vjp(flax_fn, p, *args)
+    return vjp(cot)
+
+  f.defvjp(fwd, bwd)
+  return f
+
+
 def _wt(p: Dict[str, Any], *path):
   w = p
   for k in path:

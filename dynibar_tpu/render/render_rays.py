@@ -60,12 +60,15 @@ def _broadcast_time(t: jnp.ndarray, n_rays: int, n_samples: int):
 
 
 def _agg_fns(model, cfg: RenderSettings, is_train: bool):
-  """Aggregator dispatch: fused Pallas kernels (forward-only, bf16 MXU
-  passes) for eval/render; flax modules for training (autodiff) and for
-  f32 bit-parity mode."""
-  if (cfg.fused_aggregators and not is_train
-      and cfg.compute_dtype == "bfloat16"):
-    return model.apply_dy_fused, model.apply_st_fused
+  """Aggregator dispatch: fused Pallas kernels (bf16 MXU passes) for
+  eval/render; flax modules for training (autodiff) and for f32
+  bit-parity mode.  With fused_aggregators_train, training gets the
+  Pallas primal + a flax-derived backward (identical gradients)."""
+  if cfg.fused_aggregators and cfg.compute_dtype == "bfloat16":
+    if not is_train:
+      return model.apply_dy_fused, model.apply_st_fused
+    if cfg.fused_aggregators_train:
+      return model.apply_dy_fused_diff, model.apply_st_fused_diff
   return model.apply_dy, model.apply_st
 
 

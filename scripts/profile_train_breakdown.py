@@ -8,11 +8,17 @@ to locate the next training-perf lever.
 Sync discipline: block_until_ready does not fence remote execution on this
 backend; every timing materializes a scalar and threads the previous
 output into the next input (DESIGN.md section 7).
+
+Two traps this script hit (kept as documentation):
+  * the returned scalar must depend on the UPDATED PARAMS or XLA
+    dead-code-eliminates the entire backward + optimizer;
+  * the ray batch / train state must be TRACED ARGUMENTS — closing over
+    them embeds the 288p source stacks as padded constants (576 MB each,
+    68x expansion) and the full step then OOMs HBM.
 """
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -21,7 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dynibar_tpu.config import DynibarConfig
 from dynibar_tpu.data.ray_batch import synthetic_mono_batch
@@ -35,18 +40,13 @@ H, W = 288, 512
 
 
 def timeit(name, fn, *args, iters=6):
-  @jax.jit
-  def chained(feedback, *a):
-    a = (a[0] + feedback * 1e-12,) + a[1:]
-    out = fn(*a)
-    leaves = jax.tree_util.tree_leaves(out)
-    return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves[:1])
-
-  fb = chained(jnp.float32(0), *args)
+  """fn(feedback_scalar, *args) -> scalar; all operands traced args."""
+  jfn = jax.jit(fn)
+  fb = jfn(jnp.float32(0), *args)
   float(fb)
   t0 = time.perf_counter()
   for _ in range(iters):
-    fb = chained(fb, *args)
+    fb = jfn(fb * 1e-12, *args)
   float(fb)
   dt = (time.perf_counter() - t0) / iters
   print(f"{name:<52s} {dt * 1e3:9.1f} ms", flush=True)
@@ -61,88 +61,89 @@ def main():
   print(f"views: dy={cfg.num_views_dy} anchor={cfg.num_views_anchor} "
         f"static={cfg.num_views_static}  N_rand={N_RAND}  S={cfg.n_samples}")
 
-  model = MonoModel(cfg=cfg, num_frames=48)
+  model = MonoModel(cfg=cfg, num_frames=48, remat=config.use_remat)
   rng = jax.random.PRNGKey(0)
   state, tx = trainer_lib.create_train_state(model, config, rng)
-  params = state.params
 
   rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
       cfg, n_rays=N_RAND, h=H, w=W, num_frames=48).items()}
   weights = losses_lib.schedule_weights(config, epoch=2)
 
-  # --- full step (as trained, donate off so the state can be reused).
-  # The returned scalar must depend on the UPDATED PARAMS, not just the
-  # loss — otherwise XLA dead-code-eliminates the whole backward + adam.
-  step = trainer_lib.make_train_step(model, tx, cfg, donate=False)
+  def loss_of(params, b, fm):
+    ret = render_rays_mono(model, params, b, fm, cfg,
+                           is_train=True, det=False, rng=rng)
+    return losses_lib.compute_mono_losses(ret, b, weights)["loss"]
 
-  def full_step(r):
-    ns, metrics = step(state, dict(rb, rgb=r), weights, rng)
-    touch = sum(jnp.sum(l.astype(jnp.float32))
-                for l in jax.tree_util.tree_leaves(ns.params))
-    return metrics["loss"] + touch * 1e-12
+  def tree_touch(t):
+    return sum(jnp.sum(l.astype(jnp.float32))
+               for l in jax.tree_util.tree_leaves(t))
 
-  t_step = timeit("FULL train step (fwd+bwd+adam)", full_step, rb["rgb"])
+  # --- full step (the exact trainer program, state/rb as traced args) ---
+  def full_step(f, st, b):
+    b = dict(b, rgb=b["rgb"] + f)
+
+    def lf(params):
+      fm = trainer_lib.compute_featmaps(model, params, b)
+      return loss_of(params, b, fm)
+
+    loss, grads = jax.value_and_grad(lf)(st.params)
+    updates, _ = tx.update(grads, st.opt_state, st.params)
+    new_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        st.params, updates)
+    return loss + tree_touch(new_params) * 1e-12
+
+  timeit("FULL train step (fwd+bwd+adam)", full_step, state, rb)
 
   # --- forward-only loss ---
-  def fwd(r):
-    b = dict(rb, rgb=r)
-    featmaps = trainer_lib.compute_featmaps(model, params, b)
-    ret = render_rays_mono(model, params, b, featmaps, cfg,
-                           is_train=True, det=False, rng=rng)
-    return losses_lib.compute_mono_losses(ret, b, weights)["loss"]
+  def fwd(f, st, b):
+    b = dict(b, rgb=b["rgb"] + f)
+    fm = trainer_lib.compute_featmaps(model, st.params, b)
+    return loss_of(st.params, b, fm)
 
-  timeit("forward only (featmaps+render+losses)", fwd, rb["rgb"])
+  timeit("forward only (featmaps+render+losses)", fwd, state, rb)
 
   # --- feature-net encodes, fwd and fwd+bwd ---
-  def feats_fwd(r):
-    b = dict(rb, src_rgbs=rb["src_rgbs"] + jnp.mean(r) * 1e-12)
-    fm = trainer_lib.compute_featmaps(model, params, b)
-    return sum(jnp.sum(f.astype(jnp.float32)) for f in fm)
+  def feats_fwd(f, st, b):
+    b = dict(b, src_rgbs=b["src_rgbs"] + f)
+    return tree_touch(trainer_lib.compute_featmaps(model, st.params, b))
 
-  timeit("feature-net encodes fwd (33 imgs @288p)", feats_fwd, rb["rgb"])
-  timeit("feature-net encodes fwd+bwd",
-         lambda r: jax.grad(
-             lambda p: sum(jnp.sum(f.astype(jnp.float32))
-                           for f in trainer_lib.compute_featmaps(
-                               model, p, dict(rb, src_rgbs=rb["src_rgbs"]
-                                              + jnp.mean(r) * 1e-12)))
-         )(params)["feature_net"]["conv1"]["kernel"],
-         rb["rgb"])
+  timeit("feature-net encodes fwd (33 imgs @288p)", feats_fwd, state, rb)
 
-  # --- render core given fixed featmaps ---
-  featmaps_const = jax.tree_util.tree_map(
-      jax.block_until_ready, trainer_lib.compute_featmaps(model, params, rb))
+  def feats_bwd(f, st, b):
+    b = dict(b, src_rgbs=b["src_rgbs"] + f)
+    g = jax.grad(lambda p: tree_touch(
+        trainer_lib.compute_featmaps(model, p, b)))(st.params)
+    return tree_touch(g)
 
-  def render_fwd(r):
-    b = dict(rb, rgb=r)
-    ret = render_rays_mono(model, params, b, featmaps_const, cfg,
-                           is_train=True, det=False, rng=rng)
-    return losses_lib.compute_mono_losses(ret, b, weights)["loss"]
+  timeit("feature-net encodes fwd+bwd", feats_bwd, state, rb)
 
-  timeit("render fwd (featmaps fixed)", render_fwd, rb["rgb"])
+  # --- render core given fixed featmaps (traced args, not captured) ---
+  featmaps = jax.tree_util.tree_map(
+      jax.block_until_ready,
+      trainer_lib.compute_featmaps(model, state.params, rb))
 
-  # --- anchor (cross-time) branch cost: is_train=False drops it ---
-  def render_fwd_no_anchor(r):
-    b = dict(rb, rgb=r)
-    ret = render_rays_mono(model, params, b, featmaps_const, cfg,
+  def render_fwd(f, st, b, fm):
+    b = dict(b, rgb=b["rgb"] + f)
+    return loss_of(st.params, b, fm)
+
+  timeit("render fwd (featmaps fixed)", render_fwd, state, rb, featmaps)
+
+  def render_fwd_no_anchor(f, st, b, fm):
+    b = dict(b, rgb=b["rgb"] + f)
+    ret = render_rays_mono(model, st.params, b, fm, cfg,
                            is_train=False, det=False, rng=rng)
-    return jnp.sum(ret["outputs_coarse_ref"]["rgb"])
+    return jnp.sum(ret["outputs_coarse_ref"]["rgb"]) + 0.0 * jnp.sum(f)
 
   timeit("render fwd WITHOUT cross-time branch", render_fwd_no_anchor,
-         rb["rgb"])
+         state, rb, featmaps)
 
-  def render_bwd(r):
-    def inner(p, fm):
-      b = dict(rb, rgb=r)
-      ret = render_rays_mono(model, p, b, fm, cfg,
-                             is_train=True, det=False, rng=rng)
-      return losses_lib.compute_mono_losses(ret, b, weights)["loss"]
-    g = jax.grad(inner, argnums=(0, 1))(params, featmaps_const)
-    return sum(jnp.sum(l.astype(jnp.float32))
-               for l in jax.tree_util.tree_leaves(g))
+  def render_bwd(f, st, b, fm):
+    b = dict(b, rgb=b["rgb"] + f)
+    g = jax.grad(loss_of, argnums=(0, 2))(st.params, b, fm)
+    return tree_touch(g)
 
   timeit("render fwd+bwd (featmaps fixed, grads wrt params+fm)",
-         render_bwd, rb["rgb"])
+         render_bwd, state, rb, featmaps)
 
 
 if __name__ == "__main__":
