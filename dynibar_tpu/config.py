@@ -145,8 +145,10 @@ class DynibarConfig:
   # Only takes effect with compute_dtype="bfloat16" and outside training
   # (see render/render_rays._agg_fns), so it is safe to default on.
   fused_aggregators: bool = True
-  # training too (Pallas primal forward + flax backward); experimental
-  fused_aggregators_train: bool = False
+  # training too: Pallas primal forward + chunked flax-derived backward
+  # (identical gradients; measured 1.22 -> 0.93 s/step).  Like
+  # fused_aggregators, only takes effect in bf16 mode.
+  fused_aggregators_train: bool = True
   # cli/render_monocular: also assemble the rendered frames into an mp4
   # ("auto" = <out_dir>/video.mp4, "" = PNG frames only, like the reference)
   video_out: str = "auto"

@@ -350,7 +350,7 @@ def _dynamic_kernel(pp_ref, dirfeat_ref, dirpe_ref, posenc_ref, pv_ref,
 # --------------------------------------------------------------------------
 
 
-def attach_flax_grad(fused_fn, flax_fn):
+def attach_flax_grad(fused_fn, flax_fn, bwd_chunk: int = 512):
   """Differentiable fused aggregator: Pallas forward, flax backward.
 
   Returns f(params, *args) whose primal is `fused_fn` (the VMEM-resident
@@ -362,6 +362,15 @@ def attach_flax_grad(fused_fn, flax_fn):
   [rays, samples, views, 128..256] flax intermediates; gradient math is
   unchanged.  The ~1e-4 primal deviation (tests/test_pallas_agg.py) is of
   the same order as the bf16 flax forward's own rounding.
+
+  The backward runs as a `lax.map` over ray chunks of `bwd_chunk` (the
+  aggregators have no cross-ray interaction — attention is per-ray along
+  samples), so only one chunk's linearization residuals are live at a
+  time: a single un-chunked vjp of the static aggregator at the reference
+  training shape keeps ~4 GB of [R,S,V,128..256] residuals alive and the
+  step OOMs HBM.  Chunking applies when it divides the ray count; grads
+  agree either way up to float summation order (param grads are per-ray
+  sums, accumulated per chunk).
   """
   @jax.custom_vjp
   def f(p, *args):
@@ -372,6 +381,22 @@ def attach_flax_grad(fused_fn, flax_fn):
 
   def bwd(res, cot):
     p, args = res
+    r = args[0].shape[0]
+    if 0 < bwd_chunk < r and r % bwd_chunk == 0:
+      nc = r // bwd_chunk
+      ch_args = tuple(a.reshape((nc, bwd_chunk) + a.shape[1:])
+                      for a in args)
+      ch_cot = cot.reshape((nc, bwd_chunk) + cot.shape[1:])
+
+      def one(xs):
+        ca, cc = xs
+        _, vjp = jax.vjp(flax_fn, p, *ca)
+        return vjp(cc)
+
+      grads = lax.map(one, (ch_args, ch_cot))
+      gp = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), grads[0])
+      gargs = tuple(g.reshape((r,) + g.shape[2:]) for g in grads[1:])
+      return (gp,) + gargs
     _, vjp = jax.vjp(flax_fn, p, *args)
     return vjp(cot)
 

@@ -237,7 +237,7 @@ def render_rays_mono(
   pixel_mask_anchor = jnp.sum(mask_anchor[..., 0], axis=2) > 0
 
   time_diff_a = jnp.zeros(ray_diff_anchor.shape[:3] + (1,))
-  raw_anchor = model.apply_dy(
+  raw_anchor = apply_dy(
       params, pts_anchor, rgb_feat_anchor, input_ray_dir, ray_diff_anchor,
       time_diff_a, mask_anchor, anchor_time_emb)
 

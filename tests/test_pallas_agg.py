@@ -260,3 +260,39 @@ def test_fused_train_render_core(inputs):
   den = sum(float(np.abs(np.asarray(b, np.float32)).sum())
             for b in leaves_b) + 1e-8
   assert num / den < 0.2
+
+
+def test_attach_flax_grad_chunked_bwd_identical(inputs):
+  """The lax.map-chunked backward produces the same gradients as the
+  single-vjp backward up to bf16 matmul accumulation order (the chunked
+  shapes tile the contraction differently; per-element diffs are O(bf16
+  eps)) and float summation order of the per-ray param-grad sums.  The
+  flax recompute runs in f32 here so only tiny f32 reassociation remains;
+  bf16 equivalence is covered by the other tests."""
+  from dynibar_tpu.ops.pallas_agg import attach_flax_grad
+
+  dy = DynamicAggregator(in_feat_ch=F, n_samples=S, shift=5.0,
+                         compute_dtype=None)
+  args = (inputs["pts"], inputs["rgb_feat"].astype(jnp.float32),
+          inputs["ray_dir"], inputs["ray_diff"], inputs["time_diff"],
+          inputs["mask"], inputs["time"])
+  p = dy.init(inputs["k_dy"], *args)["params"]
+  flax_fn = lambda pp, *a: dy.apply({"params": pp}, *a)
+  fused_fn = lambda pp, *a: fused_dynamic_aggregator(
+      pp, *a, shift=5.0, n_samples=S, interpret=True)
+
+  def loss(fn, pp, rgb_feat):
+    out = fn(pp, args[0], rgb_feat, *args[2:])
+    return jnp.sum(out[..., :3] ** 2) + jnp.sum(jnp.tanh(out[..., 3]))
+
+  g_whole = jax.grad(functools.partial(
+      loss, attach_flax_grad(fused_fn, flax_fn, bwd_chunk=0)),
+      argnums=(0, 1))(p, args[1])
+  g_chunk = jax.grad(functools.partial(
+      loss, attach_flax_grad(fused_fn, flax_fn, bwd_chunk=3)),
+      argnums=(0, 1))(p, args[1])
+  for a, b in zip(jax.tree_util.tree_leaves(g_chunk),
+                  jax.tree_util.tree_leaves(g_whole)):
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               atol=1e-4, rtol=1e-3)
