@@ -149,6 +149,10 @@ class DynibarConfig:
   # (identical gradients; measured 1.22 -> 0.93 s/step).  Like
   # fused_aggregators, only takes effect in bf16 mode.
   fused_aggregators_train: bool = True
+  # backward implementation for the DYNAMIC aggregator when training with
+  # fused_aggregators_train: "flax" (chunked flax vjp) or "pallas"
+  # (hand-written backward kernel, ops/pallas_agg_bwd.py)
+  fused_bwd_impl: str = "flax"
   # cli/render_monocular: also assemble the rendered frames into an mp4
   # ("auto" = <out_dir>/video.mp4, "" = PNG frames only, like the reference)
   video_out: str = "auto"
@@ -224,6 +228,7 @@ class DynibarConfig:
         strip_auto_exact=self.strip_auto_exact,
         fused_aggregators=self.fused_aggregators,
         fused_aggregators_train=self.fused_aggregators_train,
+        fused_bwd_impl=self.fused_bwd_impl,
     )
 
 
@@ -292,6 +297,8 @@ class RenderSettings:
   # (ops/pallas_agg.attach_flax_grad) — gradients identical to the flax
   # path, primal forward faster and lighter on HBM
   fused_aggregators_train: bool = False
+  # dynamic-aggregator training backward: "flax" or "pallas"
+  fused_bwd_impl: str = "flax"
 
   @property
   def num_offsets(self) -> int:

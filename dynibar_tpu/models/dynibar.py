@@ -151,6 +151,11 @@ class MonoModel:
     import functools
     from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
                                             fused_dynamic_aggregator)
+    if self.cfg.fused_bwd_impl == "pallas":
+      return fused_dynamic_aggregator(
+          params["net_coarse_dy"], *args, shift=self.dy_shift,
+          n_samples=self.cfg.n_samples, interpret=_pallas_interpret(),
+          pallas_bwd=True)
     fused = functools.partial(
         fused_dynamic_aggregator, shift=self.dy_shift,
         n_samples=self.cfg.n_samples, interpret=_pallas_interpret())
@@ -265,6 +270,10 @@ class FFModel:
                                             fused_dynamic_aggregator)
     n_total = self.cfg.n_samples + (self.cfg.n_importance
                                     if stage == "fine" else 0)
+    if self.cfg.fused_bwd_impl == "pallas":
+      return fused_dynamic_aggregator(
+          params[f"net_{stage}_dy"], *args, shift=0.0, n_samples=n_total,
+          interpret=_pallas_interpret(), pallas_bwd=True)
     fused = functools.partial(fused_dynamic_aggregator, shift=0.0,
                               n_samples=n_total,
                               interpret=_pallas_interpret())

@@ -46,7 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dynibar_tpu.core.posenc import sample_axis_posenc
 
-_N_TARGET = 512    # lanes per grid step (points)
+# lanes per grid step (points); DYNIBAR_AGG_TILE overrides for sweeps.
+# 1024 won a {256, 512, 1024, 2048} sweep on v5e at the eval shapes
+# (13.3k / 15.6k / 16.0k rays/s / VMEM-OOM); the differentiable path caps
+# at 512 — its backward kernel keeps several [n, n] f32 attention
+# buffers live.
+_N_TARGET = int(__import__("os").environ.get("DYNIBAR_AGG_TILE", "1024"))
+_N_TARGET_DIFF = min(512, _N_TARGET)
 _GEO_FREQS = tuple(float(2.0 ** e) for e in range(5))  # max_freq=5, n_freq=5
 
 
@@ -442,8 +448,14 @@ def _attn_ws(p):
           _b(a, "layer_norm", "scale"), _b(a, "layer_norm", "bias")]
 
 
-def _tile_layout(r: int, s: int):
-  g = max(1, _N_TARGET // s)
+def _tile_layout(r: int, s: int, n_target: int = 0, v: int = 1):
+  """Pick the lane tile.  The kernels' VMEM footprint scales with
+  v * n_t (per-view inputs + scratch); v=14 static at 1024 lanes blows
+  the 16 MB scoped-vmem limit, so halve until v * n_t fits."""
+  n_target = n_target or _N_TARGET
+  while n_target > 512 and v * n_target > 11 * 1024:
+    n_target //= 2
+  g = max(1, n_target // s)
   r_pad = (-r) % g
   return g, r_pad, g * s
 
@@ -482,7 +494,7 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
   from dynibar_tpu.core.posenc import periodic_embed
   r, s, v, cfull = rgb_feat.shape
   f = cfull - 3
-  g, r_pad, n_t = _tile_layout(r, s)
+  g, r_pad, n_t = _tile_layout(r, s, v=v)
   n = (r + r_pad) * s
 
   ref_pe = periodic_embed(ref_pl, max_freq=5, n_freq=5,
@@ -543,21 +555,120 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
   return jnp.transpose(raw, (1, 2, 0))
 
 
+def _make_dyn_core_diff(v, f, s_block, shift, n_t, n, interpret):
+  """custom_vjp core over the packed feature-major operands: Pallas
+  forward + hand-written Pallas backward (ops/pallas_agg_bwd.py)."""
+  from dynibar_tpu.ops import pallas_agg_bwd
+
+  def fwd_call(ws, pp, dirfeat, dirpe, pe, pv):
+    kernel = functools.partial(
+        _dynamic_kernel, n_views=v, feat_ch=f, s_block=s_block,
+        shift=shift, interpret=interpret)
+    in_specs = [
+        pl.BlockSpec((3, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((v, f + 4, n_t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ] + _full_spec(ws)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // n_t,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, n_t), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((v, f + 3, n_t), jnp.bfloat16),
+            pltpu.VMEM((v, 128, n_t), jnp.bfloat16),
+            pltpu.VMEM((v, 8, n_t), jnp.float32),
+            pltpu.VMEM((v, 8, n_t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pp, dirfeat, dirpe, pe, pv, *ws)
+
+  @jax.custom_vjp
+  def core(ws, pp, dirfeat, dirpe, pe, pv):
+    return fwd_call(ws, pp, dirfeat, dirpe, pe, pv)
+
+  def core_fwd(ws, pp, dirfeat, dirpe, pe, pv):
+    return fwd_call(ws, pp, dirfeat, dirpe, pe, pv), (
+        ws, pp, dirfeat, dirpe, pe, pv)
+
+  def core_bwd(res, cot):
+    ws, pp, dirfeat, dirpe, pe, pv = res
+    kernel = functools.partial(
+        pallas_agg_bwd.dynamic_bwd_kernel, n_views=v, feat_ch=f,
+        s_block=s_block, interpret=interpret)
+    in_specs = [
+        pl.BlockSpec((3, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((v, f + 4, n_t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ] + _full_spec(ws)
+    out_shapes = (
+        [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        + [jax.ShapeDtypeStruct((v, f + 4, n), jnp.float32),
+           jax.ShapeDtypeStruct((3, n), jnp.float32),
+           jax.ShapeDtypeStruct((f + 3, n), jnp.float32),
+           jax.ShapeDtypeStruct((27, n), jnp.float32)])
+    out_specs = (
+        [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
+                      memory_space=pltpu.VMEM) for w in ws]
+        + [pl.BlockSpec((v, f + 4, n_t), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((3, n_t), lambda i: (0, i),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((27, n_t), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n // n_t,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((v, 128, n_t), jnp.bfloat16),   # x (bf16-rounded)
+            pltpu.VMEM((v, 8, n_t), jnp.float32),      # vis(0)/mask(1)
+        ],
+        interpret=interpret,
+    )(pp, dirfeat, dirpe, pe, pv, cot, *ws)
+    d_ws = tuple(g.astype(w.dtype) for g, w in zip(outs[:len(ws)], ws))
+    d_pv, d_pp, d_dirfeat, d_dirpe = outs[len(ws):]
+    return (d_ws, d_pp, d_dirfeat.astype(dirfeat.dtype),
+            d_dirpe.astype(dirpe.dtype), jnp.zeros_like(pe),
+            d_pv.astype(pv.dtype))
+
+  core.defvjp(core_fwd, core_bwd)
+  return core
+
+
 def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
                              ray_diff, time_diff, mask, time, *,
                              shift: float = 0.0, n_samples: int = 64,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             pallas_bwd: bool = False) -> jnp.ndarray:
   """Drop-in fused forward of models.aggregators.DynamicAggregator.
 
   Same array arguments as the flax module's __call__ (ray_diff/time_diff
   accepted for parity; the reference forward never reads them); returns
-  raw [R,S,4].
+  raw [R,S,4].  pallas_bwd=True makes it differentiable via the
+  hand-written backward kernel (ops/pallas_agg_bwd.py).
   """
   del ray_diff, time_diff
   from dynibar_tpu.core.posenc import periodic_embed
   r, s, v, cfull = rgb_feat.shape
   f = cfull - 3
-  g, r_pad, n_t = _tile_layout(r, s)
+  g, r_pad, n_t = _tile_layout(r, s,
+                               _N_TARGET_DIFF if pallas_bwd else 0, v=v)
   n = (r + r_pad) * s
 
   # direction (time) feature: MLP(broadcast(t)) == broadcast(MLP(t)) — run
@@ -587,35 +698,38 @@ def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
   ws = (_pooling_ws(p) + _attn_ws(p) + _mlp_ws(p, "ref_pts_fc")
         + _mlp_ws(p, "out_geometry_fc") + _mlp3_ws(p, "rgb_fc"))
 
-  kernel = functools.partial(
-      _dynamic_kernel, n_views=v, feat_ch=f, s_block=s, shift=shift,
-      interpret=interpret)
+  if not pallas_bwd:
+    kernel = functools.partial(
+        _dynamic_kernel, n_views=v, feat_ch=f, s_block=s, shift=shift,
+        interpret=interpret)
+    in_specs = [
+        pl.BlockSpec((3, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((v, f + 4, n_t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ] + _full_spec(ws)
 
-  in_specs = [
-      pl.BlockSpec((3, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
-      pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((27, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
-      pl.BlockSpec((128, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((v, f + 4, n_t), lambda i: (0, 0, i),
-                   memory_space=pltpu.VMEM),
-  ] + _full_spec(ws)
-
-  out = pl.pallas_call(
-      kernel,
-      grid=(n // n_t,),
-      in_specs=in_specs,
-      out_specs=pl.BlockSpec((4, n_t), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
-      scratch_shapes=[
-          pltpu.VMEM((v, f + 3, n_t), jnp.bfloat16),       # rf
-          pltpu.VMEM((v, 128, n_t), jnp.bfloat16),         # x
-          pltpu.VMEM((v, 8, n_t), jnp.float32),            # vis(0)/mask(1)
-          pltpu.VMEM((v, 8, n_t), jnp.float32),            # w2
-      ],
-      interpret=interpret,
-  )(pp, dirfeat, dirpe, pe_tile, pv, *ws)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // n_t,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, n_t), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((v, f + 3, n_t), jnp.bfloat16),     # rf
+            pltpu.VMEM((v, 128, n_t), jnp.bfloat16),       # x
+            pltpu.VMEM((v, 8, n_t), jnp.float32),          # vis(0)/mask(1)
+            pltpu.VMEM((v, 8, n_t), jnp.float32),          # w2
+        ],
+        interpret=interpret,
+    )(pp, dirfeat, dirpe, pe_tile, pv, *ws)
+  else:
+    out = _make_dyn_core_diff(v, f, s, shift, n_t, n, interpret)(
+        tuple(ws), pp, dirfeat, dirpe, pe_tile, pv)
 
   raw = out.reshape(4, r + r_pad, s)[:, :r]
   return jnp.transpose(raw, (1, 2, 0))

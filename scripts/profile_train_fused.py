@@ -38,11 +38,13 @@ def timeit(name, fn, *args, iters=6):
 def main():
   rng = jax.random.PRNGKey(0)
   results = {}
-  for fused_train in (False, True):
+  for fused_train, bwd in ((False, "flax"), (True, "flax"),
+                           (True, "pallas")):
     config = DynibarConfig(
         N_rand=N_RAND, N_samples=64, N_importance=0, num_source_views=7,
         num_vv=3, num_basis=6, compute_dtype="bfloat16", use_remat=True,
-        fused_aggregators=True, fused_aggregators_train=fused_train)
+        fused_aggregators=True, fused_aggregators_train=fused_train,
+        fused_bwd_impl=bwd)
     cfg = config.render_settings("mono")
     model = MonoModel(cfg=cfg, num_frames=48, remat=True)
     state, tx = trainer_lib.create_train_state(model, config, rng)
@@ -67,10 +69,13 @@ def main():
                   for l in jax.tree_util.tree_leaves(new_params))
       return loss + touch * 1e-12
 
-    label = "fused-primal aggregators" if fused_train else "flax aggregators"
-    results[fused_train] = timeit(f"train step [{label}]", full_step,
-                                  state, rb)
-  print(f"speedup: {results[False] / results[True]:.2f}x")
+    label = ("flax aggregators" if not fused_train
+             else f"fused-primal, {bwd} bwd")
+    results[(fused_train, bwd)] = timeit(f"train step [{label}]",
+                                         full_step, state, rb)
+  base = results[(False, "flax")]
+  for k, dt in results.items():
+    print(f"{k}: {base / dt:.2f}x vs flax")
 
 
 if __name__ == "__main__":

@@ -296,3 +296,88 @@ def test_attach_flax_grad_chunked_bwd_identical(inputs):
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32),
                                atol=1e-4, rtol=1e-3)
+
+
+def _dyn_grad_setup(inputs, r=None, s=None):
+  """Shared setup: f32 flax module + matching inputs (optionally re-shaped
+  to cover multiple backward grid steps)."""
+  if r is None:
+    args = (inputs["pts"], inputs["rgb_feat"].astype(jnp.float32),
+            inputs["ray_dir"], inputs["ray_diff"], inputs["time_diff"],
+            inputs["mask"], inputs["time"])
+    s = S
+  else:
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    args = (jax.random.normal(ks[0], (r, s, 3)),
+            jax.random.uniform(ks[1], (r, s, V, F + 3)),
+            jax.random.normal(ks[2], (r, 3)),
+            jax.random.normal(ks[3], (r, s, V, 4)) * 0.1,
+            jnp.zeros((r, s, V, 1)),
+            (jax.random.uniform(ks[4], (r, s, V, 1)) > 0.2)
+            .astype(jnp.float32),
+            jnp.full((r, s, 1), 0.37))
+  dy = DynamicAggregator(in_feat_ch=F, n_samples=s, shift=5.0,
+                         compute_dtype=None)
+  p = dy.init(inputs["k_dy"], *args)["params"]
+  return dy, p, args
+
+
+@pytest.mark.parametrize("r,s", [(None, None), (64, 16)])
+def test_dynamic_pallas_bwd_matches_flax(inputs, r, s):
+  """Gradients from the hand-written Pallas backward kernel
+  (ops/pallas_agg_bwd.py), for params and inputs; (64,16) covers
+  multi-grid-step weight-gradient accumulation.
+
+  Criterion: per leaf, the pallas gradient must sit no farther from the
+  f32-flax truth than twice the bf16-flax gradient does (plus a small
+  floor).  Reduced quantities with heavy cancellation (bias sums) can
+  legitimately sit ~20% from f32 in ANY bf16 path, so a fixed relative
+  tolerance against either oracle alone is meaningless for them."""
+  dy, p, args = _dyn_grad_setup(inputs, r, s)
+  n_s = args[0].shape[1]
+  dy16 = DynamicAggregator(in_feat_ch=F, n_samples=n_s, shift=5.0,
+                           compute_dtype=jnp.bfloat16)
+
+  def mkloss(f):
+    def loss(pp, rgb_feat, pts):
+      out = f(pp, pts, rgb_feat)
+      return jnp.mean(out[..., :3] ** 2) + jnp.mean(jnp.tanh(out[..., 3]))
+    return loss
+
+  g_f32 = jax.grad(mkloss(
+      lambda pp, pts, rf: dy.apply({"params": pp}, pts, rf, *args[2:])),
+      argnums=(0, 1, 2))(p, args[1], args[0])
+  g_b16 = jax.grad(mkloss(
+      lambda pp, pts, rf: dy16.apply({"params": pp}, pts, rf, *args[2:])),
+      argnums=(0, 1, 2))(p, args[1], args[0])
+  g_pl = jax.grad(mkloss(
+      lambda pp, pts, rf: fused_dynamic_aggregator(
+          pp, pts, rf, *args[2:], shift=5.0, n_samples=n_s,
+          interpret=True, pallas_bwd=True)),
+      argnums=(0, 1, 2))(p, args[1], args[0])
+
+  flat_pl = jax.tree_util.tree_leaves(g_pl)
+  flat_32 = jax.tree_util.tree_leaves(g_f32)
+  flat_16 = jax.tree_util.tree_leaves(g_b16)
+  assert all(np.isfinite(np.asarray(l)).all() for l in flat_pl)
+  for a, b, c in zip(flat_pl, flat_32, flat_16):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    c = np.asarray(c, np.float32)
+    scale = np.abs(b).max() + 1e-6
+    err_pl = np.abs(a - b).max() / scale
+    err_16 = np.abs(c - b).max() / scale
+    assert err_pl <= 2.0 * err_16 + 0.02, (a.shape, err_pl, err_16)
+
+
+def test_dynamic_pallas_bwd_primal_matches_fused(inputs):
+  """pallas_bwd=True must not change the primal output (the two paths
+  may run at different lane tiles, which can flip an isolated boundary
+  element in interpret mode — hence allclose, not array_equal)."""
+  dy, p, args = _dyn_grad_setup(inputs)
+  a = fused_dynamic_aggregator(p, *args, shift=5.0, n_samples=S,
+                               interpret=True, pallas_bwd=True)
+  b = fused_dynamic_aggregator(p, *args, shift=5.0, n_samples=S,
+                               interpret=True, pallas_bwd=False)
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                             atol=2e-2, rtol=1e-3)
