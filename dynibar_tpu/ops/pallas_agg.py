@@ -49,10 +49,11 @@ from dynibar_tpu.core.posenc import sample_axis_posenc
 # lanes per grid step (points); DYNIBAR_AGG_TILE overrides for sweeps.
 # 1024 won a {256, 512, 1024, 2048} sweep on v5e at the eval shapes
 # (13.3k / 15.6k / 16.0k rays/s / VMEM-OOM); the differentiable path caps
-# at 512 — its backward kernel keeps several [n, n] f32 attention
-# buffers live.
+# at 256 — its backward kernel overlaps the forward recompute's liveness
+# with [n, n] attention buffers and 36 weight-grad accumulators (22.6 MB
+# scoped at 512 lanes vs the 16 MB limit).
 _N_TARGET = int(__import__("os").environ.get("DYNIBAR_AGG_TILE", "1024"))
-_N_TARGET_DIFF = min(512, _N_TARGET)
+_N_TARGET_DIFF = min(256, _N_TARGET)
 _GEO_FREQS = tuple(float(2.0 ** e) for e in range(5))  # max_freq=5, n_freq=5
 
 

@@ -38,8 +38,11 @@ def timeit(name, fn, *args, iters=6):
 def main():
   rng = jax.random.PRNGKey(0)
   results = {}
-  for fused_train, bwd in ((False, "flax"), (True, "flax"),
-                           (True, "pallas")):
+  configs = ((False, "flax"), (True, "flax"), (True, "pallas"))
+  if os.environ.get("DYNIBAR_TRAIN_PROFILE_ONLY"):
+    wanted = os.environ["DYNIBAR_TRAIN_PROFILE_ONLY"]
+    configs = tuple(c for c in configs if c[1] == wanted and c[0])
+  for fused_train, bwd in configs:
     config = DynibarConfig(
         N_rand=N_RAND, N_samples=64, N_importance=0, num_source_views=7,
         num_vv=3, num_basis=6, compute_dtype="bfloat16", use_remat=True,
@@ -73,9 +76,10 @@ def main():
              else f"fused-primal, {bwd} bwd")
     results[(fused_train, bwd)] = timeit(f"train step [{label}]",
                                          full_step, state, rb)
-  base = results[(False, "flax")]
-  for k, dt in results.items():
-    print(f"{k}: {base / dt:.2f}x vs flax")
+  if (False, "flax") in results:
+    base = results[(False, "flax")]
+    for k, dt in results.items():
+      print(f"{k}: {base / dt:.2f}x vs flax")
 
 
 if __name__ == "__main__":
