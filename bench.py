@@ -34,7 +34,7 @@ def main():
   from dynibar_tpu.render.render_rays import render_rays_mv
 
   compute_dtype = os.environ.get("DYNIBAR_BENCH_DTYPE", "bfloat16")
-  chunk = int(os.environ.get("DYNIBAR_BENCH_CHUNK", "4096"))
+  chunk = int(os.environ.get("DYNIBAR_BENCH_CHUNK", "1024"))
   fused = os.environ.get("DYNIBAR_BENCH_FUSED", "0") == "1"
   # "pallas" (default) gatherless Pallas kernel | "xla" strip gather |
   # "0" exact per-point gather (parity baseline)

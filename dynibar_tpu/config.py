@@ -56,7 +56,7 @@ class DynibarConfig:
   # ray/batch options
   N_rand: int = 512
   sample_mode: str = "uniform"
-  chunk_size: int = 4096
+  chunk_size: int = 1024
 
   # model options
   coarse_feat_dim: int = 32

@@ -357,7 +357,11 @@ def _dynamic_kernel(pp_ref, dirfeat_ref, dirpe_ref, posenc_ref, pv_ref,
 # --------------------------------------------------------------------------
 
 
-def attach_flax_grad(fused_fn, flax_fn, bwd_chunk: int = 512):
+_BWD_CHUNK = int(__import__("os").environ.get("DYNIBAR_AGG_BWD_CHUNK",
+                                              "512"))
+
+
+def attach_flax_grad(fused_fn, flax_fn, bwd_chunk: int = _BWD_CHUNK):
   """Differentiable fused aggregator: Pallas forward, flax backward.
 
   Returns f(params, *args) whose primal is `fused_fn` (the VMEM-resident
