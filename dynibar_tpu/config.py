@@ -142,8 +142,10 @@ class DynibarConfig:
   strip_impl: str = "pallas"
   strip_auto_exact: bool = True
   # fused Pallas aggregator kernels for eval/render (ops/pallas_agg.py).
-  # Only takes effect with compute_dtype="bfloat16" and outside training
-  # (see render/render_rays._agg_fns), so it is safe to default on.
+  # Only takes effect with compute_dtype="bfloat16" and when the caller
+  # does not differentiate through the render (_agg_fns gates on gradient
+  # need — gradient-bearing steps, incl. the phase-1 bootstrap, get a
+  # differentiable path), so it is safe to default on.
   fused_aggregators: bool = True
   # training too: Pallas primal forward + chunked flax-derived backward
   # (identical gradients; measured 1.22 -> 0.93 s/step).  Like

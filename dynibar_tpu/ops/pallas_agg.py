@@ -122,8 +122,10 @@ def _attention(ws, gf_bf, numvalid, s_block: int, interpret: bool):
   # query-row mask (reference mlp_network.py:23-24): invalid queries get
   # uniform in-block attention; off-block entries sit ~1e9 lower still, so
   # they underflow to exactly 0 after the row-max subtraction.  The [N,1]
-  # column comes from a dot (Mosaic cannot transpose i1 vectors): the -1e9
-  # is ADDED, which absorbs the O(10) logits into -1e9 in f32.
+  # column comes from a dot (Mosaic cannot transpose i1 vectors); masking
+  # REPLACES the logit (masked_fill semantics) so uniformity is exact for
+  # any logit magnitude — adding -1e9 would only be exact up to the f32
+  # ulp at 1e9 (64).
   qmask_row = (numvalid <= 1.0).astype(jnp.float32)             # [1,N]
   qmask_col = lax.dot_general(
       qmask_row, jnp.ones((1, 1), jnp.float32), (((0,), (0,)), ((), ())),
@@ -138,7 +140,7 @@ def _attention(ws, gf_bf, numvalid, s_block: int, interpret: bool):
     logits = lax.dot_general(
         qh, kh, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * (1.0 / np.sqrt(32.0))
-    logits = logits + qmask_col * -1e9                          # [Nq,Nk]
+    logits = jnp.where(qmask_col > 0.5, -1e9, logits)           # [Nq,Nk]
     logits = jnp.where(same_ray, logits, -2e9)
     p = jax.nn.softmax(logits, axis=1)
     p = p.astype(jnp.float32 if interpret else jnp.bfloat16)

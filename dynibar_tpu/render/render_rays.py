@@ -59,26 +59,29 @@ def _broadcast_time(t: jnp.ndarray, n_rays: int, n_samples: int):
   return jnp.broadcast_to(jnp.reshape(t, (1, 1, 1)), (n_rays, n_samples, 1))
 
 
-def _agg_fns(model, cfg: RenderSettings, is_train: bool):
-  """Aggregator dispatch: fused Pallas kernels (bf16 MXU passes) for
-  eval/render; flax modules for training (autodiff) and for f32
-  bit-parity mode.  With fused_aggregators_train, training gets the
-  Pallas primal + a flax-derived backward (identical gradients)."""
+def _agg_fns(model, cfg: RenderSettings, needs_grad: bool):
+  """Aggregator dispatch: fused Pallas kernels (bf16 MXU passes) whenever
+  the caller will NOT differentiate through the render; flax modules (or
+  the Pallas primal + flax-derived backward, identical gradients) whenever
+  it will.  The gate is *gradient need*, not is_train: the phase-1
+  bootstrap step renders with is_train=False (no anchor branch) yet still
+  calls jax.grad through outputs_coarse_st — routing it through the
+  forward-only pallas_call kernels would fail at trace time (no VJP)."""
   if cfg.fused_aggregators and cfg.compute_dtype == "bfloat16":
-    if not is_train:
+    if not needs_grad:
       return model.apply_dy_fused, model.apply_st_fused
     if cfg.fused_aggregators_train:
       return model.apply_dy_fused_diff, model.apply_st_fused_diff
   return model.apply_dy, model.apply_st
 
 
-def _strip_arg(cfg: RenderSettings, is_train: bool = False):
+def _strip_arg(cfg: RenderSettings, needs_grad: bool = False):
   """Epipolar-strip extents for the featmap lookup, or None.
 
-  Training keeps the per-sample gather: its custom VJP
+  Gradient-bearing steps keep the per-sample gather: its custom VJP
   (ops/grid_sample.py) is what makes the backward fast, while the strip
   path's autodiff backward would be a serialized scatter of strips."""
-  if cfg.strip_sampling and not is_train:
+  if cfg.strip_sampling and not needs_grad:
     return (cfg.strip_rows, cfg.strip_cols)
   return None
 
@@ -104,6 +107,7 @@ def render_rays_mono(
     det: bool,
     rng: Optional[jax.Array] = None,
     cov_out: Optional[list] = None,
+    needs_grad: Optional[bool] = None,
 ) -> Dict[str, Any]:
   """Monocular-model forward for a batch of rays.
 
@@ -124,6 +128,8 @@ def render_rays_mono(
   """
   w = cfg.traj_window
   s = cfg.n_samples
+  if needs_grad is None:
+    needs_grad = is_train
   input_ray_dir = _normalize(rb["ray_d"])
 
   if rng is not None:
@@ -147,7 +153,7 @@ def render_rays_mono(
 
   src_imgs, src_feats = _sampling_cast(cfg, rb["src_rgbs"], featmaps[0])
   st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
-  strip = _strip_arg(cfg, is_train)
+  strip = _strip_arg(cfg, needs_grad)
   rgb_feat_ref, ray_diff_ref, mask_ref = proj.compute_with_motions(
       pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
       rb["src_cameras"], src_feats, rb["src_valid"],
@@ -164,7 +170,7 @@ def render_rays_mono(
 
   time_diff = jnp.zeros(ray_diff_ref.shape[:3] + (1,))  # unused by the net
 
-  apply_dy, apply_st = _agg_fns(model, cfg, is_train)
+  apply_dy, apply_st = _agg_fns(model, cfg, needs_grad)
   raw_dy = apply_dy(
       params, pts_ref, rgb_feat_ref, input_ray_dir, ray_diff_ref,
       time_diff, mask_ref, ref_time_emb)                       # [R,S,4]
@@ -280,7 +286,7 @@ def render_rays_mono(
 
 def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
                      s_vals, input_ray_dir, num_frames, cov_out=None,
-                     is_train=False):
+                     needs_grad=False):
   """Shared coarse/fine forward of the forward-facing model
   (reference fine_render_rays, render_ray.py:407-597)."""
   w = cfg.traj_window
@@ -297,7 +303,7 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
 
   src_imgs, src_feats = _sampling_cast(cfg, rb["src_rgbs"], featmaps[0])
   st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
-  strip = _strip_arg(cfg)
+  strip = _strip_arg(cfg, needs_grad)
   rgb_feat, ray_diff, mask = proj.compute_with_motions(
       pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
       src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling,
@@ -315,7 +321,7 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
   # dynamic net but kept for interface parity)
   time_diff = jnp.zeros(ray_diff.shape[:3] + (1,))
 
-  apply_dy, apply_st = _agg_fns(model, cfg, is_train)
+  apply_dy, apply_st = _agg_fns(model, cfg, needs_grad)
   raw_dy = apply_dy(params, stage, pts, rgb_feat, input_ray_dir,
                     ray_diff, time_diff, mask, time_emb)
   ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])

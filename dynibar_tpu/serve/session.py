@@ -165,11 +165,13 @@ class RenderSession:
                         stride=stride, layers=layer in ("rgb_dy", "rgb_st"))
       if layer not in out:
         raise ValueError(f"unknown layer {layer!r}")
-      img = out[layer]
-      if layer == "depth":
-        lo, hi = float(img.min()), float(img.max())
-        img = (img - lo) / max(hi - lo, 1e-8)
-      frames.append(img)
+      frames.append(out[layer])
+    if layer == "depth":
+      # one normalization range for the whole path — per-frame min/max
+      # would make the depth video flicker as scene depth shifts
+      lo = min(float(f.min()) for f in frames)
+      hi = max(float(f.max()) for f in frames)
+      frames = [(f - lo) / max(hi - lo, 1e-8) for f in frames]
     return frames
 
   # ------------------------------------------------------------------- meta

@@ -34,14 +34,17 @@ def encode_mp4(frames: Sequence[np.ndarray], fps: float = 24.0) -> bytes:
                              float(fps), (w, h))
     if not writer.isOpened():
       raise RuntimeError("cv2.VideoWriter failed to open")
-    for f in frames:
-      if f.shape[:2] != (h, w):
-        raise ValueError(f"inconsistent frame shape {f.shape[:2]} vs {(h, w)}")
-      u8 = (np.clip(f, 0.0, 1.0) * 255.0).astype(np.uint8)
-      if u8.ndim == 2:
-        u8 = np.repeat(u8[:, :, None], 3, axis=2)
-      writer.write(u8[:, :, ::-1])  # RGB -> BGR
-    writer.release()
+    try:
+      for f in frames:
+        if f.shape[:2] != (h, w):
+          raise ValueError(
+              f"inconsistent frame shape {f.shape[:2]} vs {(h, w)}")
+        u8 = (np.clip(f, 0.0, 1.0) * 255.0).astype(np.uint8)
+        if u8.ndim == 2:
+          u8 = np.repeat(u8[:, :, None], 3, axis=2)
+        writer.write(u8[:, :, ::-1])  # RGB -> BGR
+    finally:
+      writer.release()
     with open(path, "rb") as fh:
       return fh.read()
   finally:

@@ -142,7 +142,8 @@ def make_train_step(model: MonoModel, tx: optax.GradientTransformation,
   def loss_fn(params, rb, weights, rng):
     featmaps = compute_featmaps(model, params, rb)
     ret = render_rays_mono(model, params, rb, featmaps, cfg,
-                           is_train=not bootstrap, det=False, rng=rng)
+                           is_train=not bootstrap, det=False, rng=rng,
+                           needs_grad=True)
     if bootstrap:
       loss = losses_lib.compute_bootstrap_loss(ret, rb)
       metrics = {"loss": loss, "static_loss": loss}

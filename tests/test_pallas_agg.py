@@ -12,6 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# interpret-mode emulation of the TPU kernels is minutes-slow on CPU;
+# the default profile covers the fused path via test_bf16_mode /
+# test_train_and_parallel, and `pytest -m slow` runs these deep-checks.
+pytestmark = pytest.mark.slow
+
 from dynibar_tpu.config import RenderSettings
 from dynibar_tpu.models.aggregators import DynamicAggregator, StaticAggregator
 from dynibar_tpu.ops.pallas_agg import (fused_dynamic_aggregator,

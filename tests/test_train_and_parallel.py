@@ -1,5 +1,7 @@
 """Train-step and multi-device sharding tests (virtual 8-device CPU mesh)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -52,6 +54,27 @@ def test_bootstrap_step_runs(setup):
   step_fn = make_train_step(model, tx, CFG, bootstrap=True, donate=False)
   state2, metrics = step_fn(state, rb, None, jax.random.PRNGKey(2))
   assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.parametrize("fused_train", [True, False])
+def test_bootstrap_step_bf16_fused(setup, fused_train):
+  """Phase-1 bootstrap differentiates with the production bf16+fused
+  config: _agg_fns must gate on gradient need, not is_train (the
+  forward-only pallas kernels have no VJP)."""
+  config, model_unused, state, tx, rb = setup
+  cfg = dataclasses.replace(CFG, compute_dtype="bfloat16",
+                            fused_aggregators=True,
+                            fused_aggregators_train=fused_train)
+  model = MonoModel(cfg=cfg, num_frames=32)
+  step_fn = make_train_step(model, tx, cfg, bootstrap=True, donate=False)
+  state2, metrics = step_fn(state, rb, None, jax.random.PRNGKey(4))
+  assert np.isfinite(float(metrics["loss"]))
+  diff = jax.tree_util.tree_reduce(
+      lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+      jax.tree_util.tree_map(
+          lambda a, b: a - b, state2.params["net_coarse_st"],
+          state.params["net_coarse_st"]), 0.0)
+  assert diff > 0
 
 
 def test_loss_schedule_decays():
