@@ -1,0 +1,434 @@
+"""Golden parity against the ACTUAL reference implementation.
+
+Unlike tests/test_torch_parity.py (which checks the Flax modules against
+torch *replicas* of the reference layer graph), this suite imports the real
+code from /root/reference, builds the real torch modules on CPU with seeded
+weights, runs the real ``render_rays_mono`` (render_ray.py:870) and
+``render_rays_mv`` (render_ray.py:600) on a tiny geometrically-consistent
+batch, converts the torch state through ``utils/torch_convert`` exactly the
+way a released ``.pth`` checkpoint would be, runs the JAX render cores, and
+asserts end-to-end agreement — per-ray rgb / depth / weights / flows /
+occlusion weights / matched trajectory pairs.
+
+This is the strongest available ground truth in an environment without the
+released checkpoints: any misreading of the reference that a replica might
+share is caught here.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dynibar_tpu.config import RenderSettings
+from dynibar_tpu.data.ray_batch import synthetic_ff_batch, synthetic_mono_batch
+from dynibar_tpu.models.dynibar import FFModel, MonoModel
+from dynibar_tpu.render.render_rays import render_rays_mono, render_rays_mv
+from dynibar_tpu.utils.torch_convert import (convert_ff_checkpoint,
+                                             convert_mono_checkpoint)
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_ROOT),
+    reason="reference tree not available")
+
+# append (not insert) so nothing in the reference tree can shadow repo or
+# stdlib modules; 'ibrnet' itself is unique to the reference
+if REF_ROOT not in sys.path:
+  sys.path.append(REF_ROOT)
+
+
+def _ref_modules():
+  import ibrnet.render_ray as ref_rr          # noqa: E402
+  from ibrnet.feature_network import ResNet   # noqa: E402
+  from ibrnet.mlp_network import (DynibarDynamic, DynibarStatic,  # noqa: E402
+                                  MotionMLP)
+  from ibrnet.model import init_dct_basis     # noqa: E402
+  from ibrnet.projection import Projector     # noqa: E402
+  return types.SimpleNamespace(
+      rr=ref_rr, ResNet=ResNet, DynibarDynamic=DynibarDynamic,
+      DynibarStatic=DynibarStatic, MotionMLP=MotionMLP,
+      init_dct_basis=init_dct_basis, Projector=Projector)
+
+
+def _net_args(anti_alias_pooling: bool, mask_rgb: bool):
+  """The subset of reference args DynibarDynamic/DynibarStatic read."""
+  return types.SimpleNamespace(
+      anti_alias_pooling=anti_alias_pooling, mask_rgb=mask_rgb,
+      input_dir=True, input_xyz=False)
+
+
+def _seed_motion(motion):
+  """The reference zero-inits coeff_linear (mlp_network.py:602-603), which
+  makes every trajectory identically zero; nudge it so motion paths carry
+  signal through the comparison."""
+  with torch.no_grad():
+    motion.coeff_linear.weight.normal_(0.0, 0.02)
+    motion.coeff_linear.bias.normal_(0.0, 0.01)
+
+
+def _torch_batch(rb):
+  t = lambda k: torch.from_numpy(np.asarray(rb[k]))
+  out = {
+      "ray_o": t("ray_o"), "ray_d": t("ray_d"),
+      "depth_range": t("depth_range")[None],
+      "camera": t("camera")[None],
+      "uv_grid": t("uv_grid"),
+      "src_rgbs": t("src_rgbs")[None],
+      "src_cameras": t("src_cameras")[None],
+      "static_src_rgbs": t("static_src_rgbs")[None],
+      "static_src_cameras": t("static_src_cameras")[None],
+  }
+  if "anchor_src_rgbs" in rb:
+    out["anchor_src_rgbs"] = t("anchor_src_rgbs")
+    out["anchor_src_cameras"] = t("anchor_src_cameras")
+    out["anchor_src_rgbs"] = out["anchor_src_rgbs"][None]
+    out["anchor_src_cameras"] = out["anchor_src_cameras"][None]
+  return out
+
+
+def _featmaps(net, rgbs, which=0):
+  with torch.no_grad():
+    imgs = torch.from_numpy(np.asarray(rgbs)).permute(0, 3, 1, 2)
+    return net(imgs)[which]
+
+
+def _n(x):
+  return np.asarray(x)
+
+
+def _tn(x):
+  return x.detach().numpy()
+
+
+# ------------------------------------------------------------------- mono
+
+NUM_FRAMES = 32
+REF_IDX = 10
+ANCHOR_IDX = 11
+
+
+@pytest.fixture(scope="module")
+def mono_golden(tmp_path_factory):
+  ref = _ref_modules()
+  torch.manual_seed(0)
+  feat, s, num_basis, num_vv = 32, 16, 6, 3
+
+  # kid-running train settings: aa=0, mask_rgb=1, inv_uniform, input_dir
+  args = _net_args(anti_alias_pooling=False, mask_rgb=True)
+  net_dy = ref.DynibarDynamic(args, in_feat_ch=feat, n_samples=s,
+                              shift=5.0).eval()  # shift: model.py:307
+  net_st = ref.DynibarStatic(args, in_feat_ch=feat, n_samples=s).eval()
+  motion = ref.MotionMLP(num_basis=num_basis).float().eval()
+  _seed_motion(motion)
+  feature_net = ref.ResNet(coarse_out_ch=feat, fine_out_ch=feat,
+                           coarse_only=False).eval()
+  feature_net_st = ref.ResNet(coarse_out_ch=feat, fine_out_ch=feat,
+                              coarse_only=False).eval()
+  basis = torch.from_numpy(
+      np.asarray(ref.init_dct_basis(num_basis, NUM_FRAMES))).float()
+
+  model_ns = types.SimpleNamespace(
+      net_coarse_dy=net_dy, net_coarse_st=net_st, motion_mlp=motion,
+      trajectory_basis=basis)
+
+  cfg = RenderSettings(
+      n_samples=s, num_views_dy=6 + num_vv, num_views_anchor=6 + num_vv,
+      num_views_static=6, num_vv=num_vv, num_basis=num_basis,
+      inv_uniform=True, occ_weights_mode=0, anti_alias_pooling=False,
+      mask_rgb=True, coarse_feat_dim=feat, fine_feat_dim=feat)
+  rb = synthetic_mono_batch(cfg, n_rays=4, h=48, w=64,
+                            num_frames=NUM_FRAMES, ref_idx=REF_IDX,
+                            anchor_delta=ANCHOR_IDX - REF_IDX, seed=0)
+  assert float(rb["src_valid"].min()) == 1.0      # no padding slots
+  assert float(rb["anchor_valid"].min()) == 1.0
+
+  tb = _torch_batch(rb)
+  fm_src = _featmaps(feature_net, rb["src_rgbs"])
+  fm_anchor = _featmaps(feature_net, rb["anchor_src_rgbs"])
+  fm_static = _featmaps(feature_net_st, rb["static_src_rgbs"])
+
+  with torch.no_grad():
+    ret_ref = ref.rr.render_rays_mono(
+        frame_idx=(REF_IDX, ANCHOR_IDX),
+        time_embedding=(torch.tensor([REF_IDX / NUM_FRAMES]),
+                        torch.tensor([ANCHOR_IDX / NUM_FRAMES])),
+        time_offset=([1, 2, 3, -1, -2, -3], [-3, -2, 0, 1, 2, 3]),
+        ray_batch=tb,
+        model=model_ns,
+        featmaps=(fm_src, fm_anchor, fm_static),
+        projector=ref.Projector("cpu"),
+        N_samples=s,
+        args=types.SimpleNamespace(occ_weights_mode=0),
+        inv_uniform=True, N_importance=0, det=True, is_train=True,
+        num_vv=num_vv)
+
+  # --- convert the torch state exactly like a released checkpoint ---------
+  ckpt = {
+      "net_coarse_st": net_st.state_dict(),
+      "net_coarse_dy": net_dy.state_dict(),
+      "feature_net": feature_net.state_dict(),
+      "feature_net_st": feature_net_st.state_dict(),
+      "motion_mlp": motion.state_dict(),
+      "traj_basis": basis,
+      "optimizer": {}, "scheduler": {}, "global_step": 0,
+  }
+  path = str(tmp_path_factory.mktemp("golden") / "model_010000_latest.pth")
+  torch.save(ckpt, path)
+  params = jax.tree_util.tree_map(jnp.asarray, convert_mono_checkpoint(path))
+
+  model = MonoModel(cfg=cfg, num_frames=NUM_FRAMES)
+  jb = {k: jnp.asarray(v) for k, v in rb.items()}
+  dy_fm, _ = model.apply_feature(params, jb["src_rgbs"])
+  anchor_fm, _ = model.apply_feature(params, jb["anchor_src_rgbs"])
+  st_fm, _ = model.apply_feature_st(params, jb["static_src_rgbs"])
+  ret_jax = render_rays_mono(model, params, jb, (dy_fm, anchor_fm, st_fm),
+                             cfg, is_train=True, det=True)
+
+  return types.SimpleNamespace(
+      ref=ret_ref, jax=ret_jax, rb=rb,
+      fm=(fm_src, fm_anchor, fm_static),
+      jfm=(dy_fm, anchor_fm, st_fm))
+
+
+def test_mono_featmaps_match_reference(mono_golden):
+  for t_fm, j_fm in zip(mono_golden.fm, mono_golden.jfm):
+    want = _tn(t_fm.permute(0, 2, 3, 1))
+    np.testing.assert_allclose(_n(j_fm), want, atol=3e-4, rtol=1e-3)
+
+
+def test_mono_coarse_ref_outputs(mono_golden):
+  want = mono_golden.ref["outputs_coarse_ref"]
+  got = mono_golden.jax["outputs_coarse_ref"]
+  np.testing.assert_allclose(_n(got["rgb"]), _tn(want["rgb"]), atol=1e-4)
+  np.testing.assert_allclose(_n(got["rgb_static"]), _tn(want["rgb_static"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got["rgb_dy"]), _tn(want["rgb_dy"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got["depth"]), _tn(want["depth"]),
+                             atol=1e-4, rtol=1e-4)
+  np.testing.assert_allclose(_n(got["weights"]), _tn(want["weights"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got["weights_dy"]), _tn(want["weights_dy"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got["weights_st"]), _tn(want["weights_st"]),
+                             atol=1e-4)
+  np.testing.assert_array_equal(_n(got["mask"]), _tn(want["mask"]))
+  np.testing.assert_allclose(_n(got["s_vals"]), _tn(want["s_vals"]),
+                             atol=1e-5)
+
+
+def test_mono_single_field_outputs(mono_golden):
+  for key in ("outputs_coarse_ref_dy", "outputs_coarse_st"):
+    want, got = mono_golden.ref[key], mono_golden.jax[key]
+    np.testing.assert_allclose(_n(got["rgb"]), _tn(want["rgb"]), atol=1e-4,
+                               err_msg=key)
+    np.testing.assert_allclose(_n(got["weights"]), _tn(want["weights"]),
+                               atol=1e-4, err_msg=key)
+    np.testing.assert_allclose(_n(got["depth"]), _tn(want["depth"]),
+                               atol=1e-4, rtol=1e-4, err_msg=key)
+
+
+def test_mono_render_flows_and_exp_sf(mono_golden):
+  want = mono_golden.ref["outputs_coarse_ref"]
+  got = mono_golden.jax["outputs_coarse_ref"]
+  np.testing.assert_allclose(_n(got["render_flows"]),
+                             _tn(want["render_flows"]), atol=5e-3)
+  np.testing.assert_allclose(_n(got["exp_sf"]), _tn(want["exp_sf"]),
+                             atol=1e-5)
+
+
+def test_mono_anchor_outputs(mono_golden):
+  want = mono_golden.ref["outputs_coarse_anchor"]
+  got = mono_golden.jax["outputs_coarse_anchor"]
+  np.testing.assert_allclose(_n(got["rgb"]), _tn(want["rgb"]), atol=1e-4)
+  np.testing.assert_allclose(_n(got["weights"]), _tn(want["weights"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got["occ_weights"]), _tn(want["occ_weights"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got["occ_weight_map"]),
+                             _tn(want["occ_weight_map"]), atol=1e-4)
+  np.testing.assert_allclose(_n(got["sf_seq"]), _tn(want["sf_seq"]),
+                             atol=1e-5)
+
+  want_dy = mono_golden.ref["outputs_coarse_anchor_dy"]
+  got_dy = mono_golden.jax["outputs_coarse_anchor_dy"]
+  np.testing.assert_allclose(_n(got_dy["rgb"]), _tn(want_dy["rgb"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got_dy["occ_weights"]),
+                             _tn(want_dy["occ_weights"]), atol=1e-4)
+
+
+def test_mono_matched_trajectory_pairs(mono_golden):
+  """The static 7-slot gather must reproduce the reference's data-dependent
+  pair-matching loop (render_ray.py:1149-1168) on the valid slots."""
+  want = mono_golden.ref["outputs_coarse_anchor"]
+  got = mono_golden.jax["outputs_coarse_anchor"]
+  pair_valid = _n(got["pair_valid"])
+  # anchor offsets [-3,-2,0,1,2,3] + 3 vv; with delta=+1 the ref twin of
+  # offset o sits at o+1, so o=+3 (-> +4) and the vv slots are invalid
+  assert pair_valid.tolist() == [True] * 5 + [False] * 4
+  got_ref_pts = _n(got["pts_traj_ref"])[pair_valid]
+  got_anchor_pts = _n(got["pts_traj_anchor"])[pair_valid]
+  np.testing.assert_allclose(got_ref_pts, _tn(want["pts_traj_ref"]),
+                             atol=1e-5)
+  np.testing.assert_allclose(got_anchor_pts, _tn(want["pts_traj_anchor"]),
+                             atol=1e-5)
+
+
+# --------------------------------------------------------------------- ff
+
+# chosen so ref_idx/num_frames is exact in f32 (the reference derives
+# num_frames = int(ref_frame_idx / ref_time_embedding), render_ray.py:652)
+FF_FRAMES = 32
+FF_REF_IDX = 10
+
+
+@pytest.fixture(scope="module")
+def ff_golden(tmp_path_factory):
+  ref = _ref_modules()
+  torch.manual_seed(1)
+  feat, s, n_imp, num_basis = 32, 12, 12, 6
+
+  # Nvidia eval settings: aa=1, mask_rgb=0, inv_uniform (eval_*_long.txt)
+  args = _net_args(anti_alias_pooling=True, mask_rgb=False)
+  nets = {}
+  for stage, n_total in (("coarse", s), ("fine", s + n_imp)):
+    nets[f"net_{stage}_dy"] = ref.DynibarDynamic(
+        args, in_feat_ch=feat, n_samples=n_total, shift=0.0).eval()
+    nets[f"net_{stage}_st"] = ref.DynibarStatic(
+        args, in_feat_ch=feat, n_samples=n_total).eval()
+  motion = ref.MotionMLP(num_basis=num_basis).float().eval()
+  motion_fine = ref.MotionMLP(num_basis=num_basis).float().eval()
+  _seed_motion(motion)
+  _seed_motion(motion_fine)
+  feature_net = ref.ResNet(coarse_out_ch=feat, fine_out_ch=feat,
+                           coarse_only=False).eval()
+  feature_net_fine = ref.ResNet(coarse_out_ch=feat, fine_out_ch=feat,
+                                coarse_only=False).eval()
+  basis = torch.from_numpy(
+      np.asarray(ref.init_dct_basis(num_basis, FF_FRAMES))).float()
+
+  model_ns = types.SimpleNamespace(
+      net_coarse_dy=nets["net_coarse_dy"], net_coarse_st=nets["net_coarse_st"],
+      net_fine_dy=nets["net_fine_dy"], net_fine_st=nets["net_fine_st"],
+      motion_mlp=motion, motion_mlp_fine=motion_fine,
+      trajectory_basis=basis, trajectory_basis_fine=basis)
+
+  cfg = RenderSettings(
+      n_samples=s, n_importance=n_imp, num_views_dy=7, num_views_anchor=0,
+      num_views_static=6, num_vv=0, num_basis=num_basis, inv_uniform=True,
+      anti_alias_pooling=True, mask_rgb=False, coarse_feat_dim=feat,
+      fine_feat_dim=feat, mono_time_diff=False)
+  rb = synthetic_ff_batch(cfg, n_rays=4, h=48, w=64, num_frames=FF_FRAMES,
+                          ref_idx=FF_REF_IDX, seed=1)
+  tb = _torch_batch(rb)
+
+  # reference featmap quirk (eval_nvidia.py:335-358): the coarse static
+  # featmaps take the FINE channels of feature_net, and the fine dynamic
+  # featmaps take the COARSE channels of feature_net_fine
+  fm_c_src = _featmaps(feature_net, rb["src_rgbs"], which=0)
+  fm_c_st = _featmaps(feature_net, rb["static_src_rgbs"], which=1)
+  fm_f_src = _featmaps(feature_net_fine, rb["src_rgbs"], which=0)
+  fm_f_st = _featmaps(feature_net_fine, rb["static_src_rgbs"], which=1)
+
+  with torch.no_grad():
+    ret_ref = ref.rr.render_rays_mv(
+        frame_idx=(FF_REF_IDX, FF_REF_IDX + 1),
+        time_embedding=(torch.tensor([FF_REF_IDX / FF_FRAMES]),
+                        torch.tensor([(FF_REF_IDX + 1) / FF_FRAMES])),
+        time_offset=([-3, -2, -1, 0, 1, 2, 3], [-3, -2, -1, 0, 1, 2, 3]),
+        ray_batch=tb,
+        model=model_ns,
+        projector=ref.Projector("cpu"),
+        coarse_featmaps=(fm_c_src, None, fm_c_st),
+        fine_featmaps=(fm_f_src, None, fm_f_st),
+        N_samples=s,
+        args=types.SimpleNamespace(occ_weights_mode=0),
+        inv_uniform=True, N_importance=n_imp, det=True, is_train=False)
+
+  coarse_pth = str(tmp_path_factory.mktemp("golden_ff") / "model_coarse.pth")
+  fine_pth = str(tmp_path_factory.mktemp("golden_ff2") / "model_fine.pth")
+  torch.save({
+      "net_coarse_st": nets["net_coarse_st"].state_dict(),
+      "net_coarse_dy": nets["net_coarse_dy"].state_dict(),
+      "feature_net": feature_net.state_dict(),
+      "motion_mlp": motion.state_dict(),
+      "traj_basis": basis, "global_step": 0,
+  }, coarse_pth)
+  torch.save({
+      "net_fine_st": nets["net_fine_st"].state_dict(),
+      "net_fine_dy": nets["net_fine_dy"].state_dict(),
+      "feature_net_fine": feature_net_fine.state_dict(),
+      "motion_mlp_fine": motion_fine.state_dict(),
+      "traj_basis_fine": basis, "global_step": 0,
+      "optimizer": {}, "scheduler": {},
+  }, fine_pth)
+  params = jax.tree_util.tree_map(
+      jnp.asarray, convert_ff_checkpoint(coarse_pth, fine_pth))
+
+  model = FFModel(cfg=cfg, num_frames=FF_FRAMES)
+  jb = {k: jnp.asarray(v) for k, v in rb.items()}
+  c_src, _ = model.apply_feature(params, "feature_net", jb["src_rgbs"])
+  _, c_st = model.apply_feature(params, "feature_net", jb["static_src_rgbs"])
+  f_src, _ = model.apply_feature(params, "feature_net_fine", jb["src_rgbs"])
+  _, f_st = model.apply_feature(params, "feature_net_fine",
+                                jb["static_src_rgbs"])
+  ret_jax = render_rays_mv(model, params, jb, (c_src, None, c_st),
+                           (f_src, None, f_st), cfg, det=True)
+  return types.SimpleNamespace(ref=ret_ref, jax=ret_jax)
+
+
+def test_ff_coarse_outputs(ff_golden):
+  want = ff_golden.ref["outputs_coarse_ref"]
+  got = ff_golden.jax["outputs_coarse_ref"]
+  np.testing.assert_allclose(_n(got["rgb"]), _tn(want["rgb"]), atol=1e-4)
+  np.testing.assert_allclose(_n(got["weights"]), _tn(want["weights"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got["depth"]), _tn(want["depth"]),
+                             atol=1e-4, rtol=1e-4)
+
+
+def test_ff_fine_outputs(ff_golden):
+  want = ff_golden.ref["outputs_fine_ref"]
+  got = ff_golden.jax["outputs_fine_ref"]
+  np.testing.assert_allclose(_n(got["z_vals"]), _tn(want["z_vals"]),
+                             atol=1e-4, rtol=1e-5)
+  np.testing.assert_allclose(_n(got["rgb"]), _tn(want["rgb"]), atol=2e-4)
+  np.testing.assert_allclose(_n(got["weights"]), _tn(want["weights"]),
+                             atol=2e-4)
+  np.testing.assert_allclose(_n(got["depth"]), _tn(want["depth"]),
+                             atol=2e-4, rtol=1e-4)
+  np.testing.assert_allclose(_n(got["s_vals"]), _tn(want["s_vals"]),
+                             atol=1e-4)
+  np.testing.assert_allclose(_n(got["render_flows"]),
+                             _tn(want["render_flows"]), atol=5e-3)
+  np.testing.assert_allclose(_n(got["exp_sf"]), _tn(want["exp_sf"]),
+                             atol=1e-5)
+
+  want_dy = ff_golden.ref["outputs_fine_ref_dy"]
+  got_dy = ff_golden.jax["outputs_fine_ref_dy"]
+  np.testing.assert_allclose(_n(got_dy["rgb"]), _tn(want_dy["rgb"]),
+                             atol=2e-4)
+
+
+# -------------------------------------------------------- sampling golden
+
+def test_sample_pdf_matches_reference():
+  ref = _ref_modules()
+  from dynibar_tpu.core import sampling
+  rng = np.random.RandomState(7)
+  bins = np.sort(rng.rand(6, 17).astype(np.float32) * 10, axis=-1)
+  weights = rng.rand(6, 16).astype(np.float32)
+  want = _tn(ref.rr.sample_pdf(torch.from_numpy(bins.copy()),
+                               torch.from_numpy(weights.copy()),
+                               N_samples=24, det=True))
+  got = _n(sampling.sample_pdf(jnp.asarray(bins), jnp.asarray(weights),
+                               24, det=True))
+  np.testing.assert_allclose(got, want, atol=1e-5)
