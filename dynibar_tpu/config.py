@@ -202,13 +202,17 @@ class DynibarConfig:
       num_dy = 6 + self.num_vv
       num_anchor = 7 + self.num_vv  # <=6 real + occasional identity + vv
       num_static = 2 * self.num_source_views
-    else:  # forward-facing Nvidia benchmark
+    elif mode == "ff_train":  # fine-stage FF training (cross-time branch on)
+      num_dy = 7
+      num_anchor = 6
+      num_static = 11
+    else:  # forward-facing Nvidia benchmark eval
       num_dy = 7
       num_anchor = 0
       num_static = 11
     return RenderSettings(
         n_samples=self.N_samples,
-        n_importance=self.N_importance if mode == "ff" else 0,
+        n_importance=self.N_importance if mode != "mono" else 0,
         num_views_dy=num_dy,
         num_views_anchor=num_anchor,
         num_views_static=num_static,

@@ -199,7 +199,8 @@ def synthetic_ff_batch(
   mono = synthetic_mono_batch(
       RenderSettings(
           n_samples=cfg.n_samples, num_views_dy=7,
-          num_views_anchor=0, num_views_static=cfg.num_views_static,
+          num_views_anchor=cfg.num_views_anchor,
+          num_views_static=cfg.num_views_static,
           num_vv=0, num_basis=cfg.num_basis),
       n_rays, h, w, num_frames, ref_idx, anchor_delta=1, seed=seed,
       scanline=scanline)

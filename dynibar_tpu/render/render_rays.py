@@ -203,7 +203,36 @@ def render_rays_mono(
   if not is_train:
     return ret
 
-  # ---------------- cross-time (anchor) rendering -------------------------
+  outputs_anchor, outputs_anchor_dy = _cross_time_branch(
+      rb, cfg,
+      pts_ref=pts_ref, traj_ref=traj_ref, z_vals=z_vals, raw_st=raw_st,
+      outputs_ref=outputs_ref, outputs_ref_dy=outputs_ref_dy,
+      pixel_mask_st=pixel_mask_st, input_ray_dir=input_ray_dir,
+      apply_dy=lambda *a: apply_dy(params, *a),
+      apply_motion=lambda x: model.apply_motion(params, x),
+      basis=params["traj_basis"], anchor_featmaps=featmaps[1], strip=strip)
+
+  ret["outputs_coarse_anchor"] = outputs_anchor
+  ret["outputs_coarse_anchor_dy"] = outputs_anchor_dy
+  return ret
+
+
+def _cross_time_branch(rb, cfg: RenderSettings, *, pts_ref, traj_ref, z_vals,
+                       raw_st, outputs_ref, outputs_ref_dy, pixel_mask_st,
+                       input_ray_dir, apply_dy, apply_motion, basis,
+                       anchor_featmaps, strip):
+  """Cross-time (anchor) rendering for temporal consistency.
+
+  Rebuild of reference render_ray.py:1099-1270 as a fixed-shape program,
+  shared by the mono coarse stage and (as an extension the shipped reference
+  lacks — its ``fine_render_rays`` accepts ``is_train`` but always returns
+  ``outputs_anchor = None``, render_ray.py:583-584) the FF fine stage.
+
+  Returns (outputs_anchor, outputs_anchor_dy) with the occlusion weights,
+  matched trajectory pairs and scene-flow sequence the loss consumes.
+  """
+  w = cfg.traj_window
+  n_rays, s = pts_ref.shape[:2]
   delta = rb["anchor_frame_idx"] - rb["ref_frame_idx"]         # in [-w, w]
   sf_seq = motion.scene_flow_seq(traj_ref)                     # [2w, R, S, 3]
 
@@ -213,8 +242,8 @@ def render_rays_mono(
 
   anchor_time_emb = _broadcast_time(rb["anchor_time"], n_rays, s)
   traj_anchor = _motion_window(
-      lambda x: model.apply_motion(params, x), params["traj_basis"],
-      pts_anchor, anchor_time_emb, rb["anchor_frame_idx"], s, w)
+      apply_motion, basis, pts_anchor, anchor_time_emb,
+      rb["anchor_frame_idx"], s, w)
 
   pts_3d_seq_anchor = motion.displaced_points(
       pts_anchor, traj_anchor, rb["anchor_offset_idx"], w)     # [Va,R,S,3]
@@ -233,7 +262,8 @@ def render_rays_mono(
       + pts_ref[None])                                         # [Va,R,S,3]
   pts_traj_anchor = pts_3d_seq_anchor
 
-  a_imgs, a_feats = _sampling_cast(cfg, rb["anchor_src_rgbs"], featmaps[1])
+  a_imgs, a_feats = _sampling_cast(cfg, rb["anchor_src_rgbs"],
+                                   anchor_featmaps)
   rgb_feat_anchor, ray_diff_anchor, mask_anchor = proj.compute_with_motions(
       pts_ref, pts_3d_seq_anchor, rb["camera"], a_imgs,
       rb["anchor_src_cameras"], a_feats, rb["anchor_valid"],
@@ -244,7 +274,7 @@ def render_rays_mono(
 
   time_diff_a = jnp.zeros(ray_diff_anchor.shape[:3] + (1,))
   raw_anchor = apply_dy(
-      params, pts_anchor, rgb_feat_anchor, input_ray_dir, ray_diff_anchor,
+      pts_anchor, rgb_feat_anchor, input_ray_dir, ray_diff_anchor,
       time_diff_a, mask_anchor, anchor_time_emb)
 
   outputs_anchor = comp.composite_dual(raw_anchor, raw_st, z_vals,
@@ -278,10 +308,7 @@ def render_rays_mono(
   outputs_anchor["pts_traj_anchor"] = pts_traj_anchor
   outputs_anchor["pair_valid"] = pair_valid
   outputs_anchor["sf_seq"] = sf_seq
-
-  ret["outputs_coarse_anchor"] = outputs_anchor
-  ret["outputs_coarse_anchor_dy"] = outputs_anchor_dy
-  return ret
+  return outputs_anchor, outputs_anchor_dy
 
 
 def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
@@ -332,7 +359,7 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
   outputs = comp.composite_dual(raw_dy, raw_st, z_vals, pixel_mask,
                                 pixel_mask_st)
   outputs_dy = comp.composite_single(raw_dy, z_vals, pixel_mask)
-  return outputs, outputs_dy, traj, pts_seq
+  return outputs, outputs_dy, traj, pts_seq, raw_st, pixel_mask_st
 
 
 def render_rays_mv(
@@ -344,12 +371,25 @@ def render_rays_mv(
     cfg: RenderSettings,
     *,
     det: bool = True,
+    is_train: bool = False,
     rng: Optional[jax.Array] = None,
     cov_out: Optional[list] = None,
+    needs_grad: Optional[bool] = None,
 ) -> Dict[str, Any]:
   """Coarse→fine forward of the forward-facing (Nvidia benchmark) model
-  (reference render_rays_mv, render_ray.py:600-867; eval path)."""
+  (reference render_rays_mv, render_ray.py:600-867).
+
+  is_train=True adds the fine-stage cross-time (anchor) branch for the
+  temporal-consistency losses.  Note this *extends* the shipped reference:
+  its ``fine_render_rays`` accepts ``is_train`` but unconditionally returns
+  ``outputs_anchor = None`` (render_ray.py:583-584), and no FF train driver
+  exists upstream — the branch here mirrors the mono coarse-stage cross-time
+  logic (render_ray.py:1099-1270) at the fine stage, which is what the
+  DynibarFF optimizer layout (model.py:106-118) implies was trained.
+  """
   w = cfg.traj_window
+  if needs_grad is None:
+    needs_grad = is_train
   input_ray_dir = _normalize(rb["ray_d"])
 
   keys = jax.random.split(rng, 3) if rng is not None else (None, None, None)
@@ -357,11 +397,14 @@ def render_rays_mv(
       rb["ray_o"], rb["ray_d"], rb["depth_range"], cfg.n_samples,
       inv_uniform=cfg.inv_uniform, det=det, rng=keys[0])
 
-  outputs_coarse, _, _, _ = _render_stage_ff(
-      model, params, rb, coarse_featmaps, cfg, "coarse", pts_ref, z_vals,
-      None, input_ray_dir, model.num_frames, cov_out=cov_out)
   # coarse stage is frozen (reference runs it under torch.no_grad,
-  # render_ray.py:672)
+  # render_ray.py:672); stop_gradient on the *params* keeps the whole coarse
+  # program out of the differentiated path, so it can keep the fused
+  # forward-only kernels even inside a jax.grad train step
+  params_coarse = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+  outputs_coarse, _, _, _, _, _ = _render_stage_ff(
+      model, params_coarse, rb, coarse_featmaps, cfg, "coarse", pts_ref,
+      z_vals, None, input_ray_dir, model.num_frames, cov_out=cov_out)
   outputs_coarse = jax.tree_util.tree_map(jax.lax.stop_gradient,
                                           outputs_coarse)
 
@@ -374,9 +417,11 @@ def render_rays_mv(
   pts_fine = (z_all[..., None] * rb["ray_d"][:, None, :]
               + rb["ray_o"][:, None, :])
 
-  outputs_fine, outputs_fine_dy, traj_fine, pts_seq_fine = _render_stage_ff(
+  (outputs_fine, outputs_fine_dy, traj_fine, pts_seq_fine, raw_st_fine,
+   pixel_mask_st_fine) = _render_stage_ff(
       model, params, rb, fine_featmaps, cfg, "fine", pts_fine, z_all, s_all,
-      input_ray_dir, model.num_frames, cov_out=cov_out)
+      input_ray_dir, model.num_frames, cov_out=cov_out,
+      needs_grad=needs_grad)
 
   outputs_fine["render_flows"] = comp.render_optical_flow(
       outputs_fine["weights"], pts_seq_fine, rb["src_cameras"],
@@ -385,10 +430,28 @@ def render_rays_mv(
   outputs_fine["exp_sf"] = motion.expected_scene_flow(
       outputs_fine["weights"], traj_fine, 2, w)
 
-  return {
+  ret = {
       "outputs_coarse_ref": outputs_coarse,
       "outputs_fine_ref": outputs_fine,
       "outputs_fine_ref_dy": outputs_fine_dy,
       "outputs_fine_anchor": None,
       "outputs_fine_anchor_dy": None,
   }
+  if not is_train:
+    return ret
+
+  apply_dy, _ = _agg_fns(model, cfg, needs_grad)
+  outputs_anchor, outputs_anchor_dy = _cross_time_branch(
+      rb, cfg,
+      pts_ref=pts_fine, traj_ref=traj_fine, z_vals=z_all,
+      raw_st=raw_st_fine, outputs_ref=outputs_fine,
+      outputs_ref_dy=outputs_fine_dy, pixel_mask_st=pixel_mask_st_fine,
+      input_ray_dir=input_ray_dir,
+      apply_dy=lambda *a: apply_dy(params, "fine", *a),
+      apply_motion=lambda x: model.apply_motion(params, "fine", x),
+      basis=params["traj_basis_fine"],
+      anchor_featmaps=fine_featmaps[1],
+      strip=_strip_arg(cfg, needs_grad))
+  ret["outputs_fine_anchor"] = outputs_anchor
+  ret["outputs_fine_anchor_dy"] = outputs_anchor_dy
+  return ret

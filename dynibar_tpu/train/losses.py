@@ -90,10 +90,28 @@ def flow_loss(render_flow, gt_flow, gt_mask):
 def compute_mono_losses(ret: Dict[str, Any], rb: Dict[str, Any],
                         w: LossWeights) -> Dict[str, jnp.ndarray]:
   """Full 8-term loss (train.py:300-456). Returns each term + total."""
-  out_ref = ret["outputs_coarse_ref"]
-  out_ref_dy = ret["outputs_coarse_ref_dy"]
-  out_anchor = ret["outputs_coarse_anchor"]
-  out_anchor_dy = ret["outputs_coarse_anchor_dy"]
+  return _assemble_losses(
+      ret["outputs_coarse_ref"], ret["outputs_coarse_ref_dy"],
+      ret["outputs_coarse_anchor"], ret["outputs_coarse_anchor_dy"], rb, w)
+
+
+def compute_ff_losses(ret: Dict[str, Any], rb: Dict[str, Any],
+                      w: LossWeights) -> Dict[str, jnp.ndarray]:
+  """Fine-stage loss for forward-facing training.
+
+  Same term structure as the mono loss, applied to the fine outputs (the
+  coarse stage is frozen, reference model.py:106-118); the shipped reference
+  has no FF train loop, so this mirrors the mono assembly at the stage the
+  DynibarFF optimizer actually trains.
+  """
+  return _assemble_losses(
+      ret["outputs_fine_ref"], ret["outputs_fine_ref_dy"],
+      ret["outputs_fine_anchor"], ret["outputs_fine_anchor_dy"], rb, w)
+
+
+def _assemble_losses(out_ref, out_ref_dy, out_anchor, out_anchor_dy,
+                     rb: Dict[str, Any], w: LossWeights
+                     ) -> Dict[str, jnp.ndarray]:
   gt_rgb = rb["rgb"]
   motion_mask = rb["motion_mask"].astype(jnp.float32)
 
@@ -113,14 +131,20 @@ def compute_mono_losses(ret: Dict[str, Any], rb: Dict[str, Any],
       out_anchor_dy, gt_rgb, motion_mask)
 
   # --- disparity ---
-  pred_disp = 1.0 / jnp.clip(out_ref["depth"], min=1e-2)
-  disp_loss = w.w_disp * (
-      jnp.sum(jnp.abs(pred_disp - rb["disp"]) * pred_mask)
-      / (jnp.sum(pred_mask) + 1e-8))
+  if "disp" in rb:
+    pred_disp = 1.0 / jnp.clip(out_ref["depth"], min=1e-2)
+    disp_loss = w.w_disp * (
+        jnp.sum(jnp.abs(pred_disp - rb["disp"]) * pred_mask)
+        / (jnp.sum(pred_mask) + 1e-8))
+  else:
+    disp_loss = jnp.float32(0.0)
 
-  # --- flow ---
+  # --- flow (render_flows may carry more views than the supervision; the
+  # FF model renders 7 flows but GT flow pairs cover ±3 like mono) ---
+  n_flow = rb["flows"].shape[0]
   fmask = pred_mask[None, :, None] * rb["flow_masks"]
-  fl = w.w_flow * flow_loss(out_ref["render_flows"], rb["flows"], fmask)
+  fl = w.w_flow * flow_loss(out_ref["render_flows"][:n_flow], rb["flows"],
+                            fmask)
 
   # --- cycle consistency (pair-masked; reference train.py:354-371) ---
   occ_w = out_anchor["occ_weights"]                       # [R, S]
@@ -143,8 +167,12 @@ def compute_mono_losses(ret: Dict[str, Any], rb: Dict[str, Any],
   rw_dy = jnp.sum(out_ref["weights_dy"], axis=-1)
   rw_st = jnp.sum(out_ref["weights_st"], axis=-1)
   ratio = rw_dy / jnp.clip(rw_dy + rw_st, min=1e-9)
-  ent = -(ratio * jnp.log(ratio + 1e-9)
-          + (1.0 - ratio) * jnp.log(1.0 - ratio + 1e-9))
+  # clamp before the logs: at ratio == 1.0 exactly (rw_st == 0, common in
+  # FF scenes) XLA's fused rewrite of (1-r)*log(1-r+eps) yields NaN under
+  # jit even though the eager value is 0
+  r_ent = jnp.clip(ratio, 1e-9, 1.0 - 1e-7)
+  ent = -(r_ent * jnp.log(r_ent)
+          + (1.0 - r_ent) * jnp.log(1.0 - r_ent))
   entropy = w.w_skew_entropy * jnp.mean(ent)
 
   # --- distortion (train.py:416-423) ---

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import optax
 
 from dynibar_tpu.config import DynibarConfig, RenderSettings
-from dynibar_tpu.models.dynibar import MonoModel
-from dynibar_tpu.render.render_rays import render_rays_mono
+from dynibar_tpu.models.dynibar import FFModel, MonoModel
+from dynibar_tpu.render.render_rays import render_rays_mono, render_rays_mv
 from dynibar_tpu.train import losses as losses_lib
 
 
@@ -151,6 +151,79 @@ def make_train_step(model: MonoModel, tx: optax.GradientTransformation,
       metrics = losses_lib.compute_mono_losses(ret, rb, weights)
       loss = metrics["loss"]
     mse = jnp.mean((ret["outputs_coarse_ref"]["rgb"] - rb["rgb"]) ** 2)
+    metrics["psnr"] = -10.0 * jnp.log(mse + 1e-8) / jnp.log(10.0)
+    return loss, metrics
+
+  def step(state: TrainState, rb, weights, rng):
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(
+        state.params, rb, weights, rng)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+  donate_argnums = (0,) if donate else ()
+  return jax.jit(step, donate_argnums=donate_argnums)
+
+
+FF_COARSE_KEYS = ("net_coarse_st", "net_coarse_dy", "feature_net",
+                  "motion_mlp", "traj_basis")
+
+
+def create_ff_train_state(
+    model: FFModel, config: DynibarConfig, rng: jax.Array,
+    coarse_params: Optional[Dict[str, Any]] = None
+) -> Tuple[TrainState, optax.GradientTransformation]:
+  """Init FF params; graft the frozen coarse stage from a finished coarse
+  run (reference model.py:102 load_coarse_from_ckpt)."""
+  params = model.init_params(rng)
+  if coarse_params is not None:
+    for key in FF_COARSE_KEYS:
+      params[key] = jax.tree_util.tree_map(jnp.asarray, coarse_params[key])
+  tx = make_ff_optimizer(config)
+  return TrainState(params=params, opt_state=tx.init(params),
+                    step=jnp.zeros((), jnp.int32)), tx
+
+
+def compute_ff_featmaps(model: FFModel, params, rb):
+  """Featmap tuples for FF training.
+
+  Channel routing follows the reference eval wiring (eval_nvidia.py:335-358):
+  coarse dynamic <- feature_net coarse channels, coarse static <-
+  feature_net *fine* channels, fine dynamic/anchor <- feature_net_fine
+  *coarse* channels, fine static <- feature_net_fine fine channels.  The
+  coarse maps are stop_gradient'd: the whole coarse stage is frozen, so
+  cutting here keeps its encode out of the backward program entirely.
+  """
+  c_src, _ = model.apply_feature(params, "feature_net", rb["src_rgbs"])
+  _, c_st = model.apply_feature(params, "feature_net",
+                                rb["static_src_rgbs"])
+  coarse = jax.tree_util.tree_map(jax.lax.stop_gradient, (c_src, c_st))
+  f_src, _ = model.apply_feature(params, "feature_net_fine", rb["src_rgbs"])
+  f_anchor, _ = model.apply_feature(params, "feature_net_fine",
+                                    rb["anchor_src_rgbs"])
+  _, f_st = model.apply_feature(params, "feature_net_fine",
+                                rb["static_src_rgbs"])
+  return (coarse[0], None, coarse[1]), (f_src, f_anchor, f_st)
+
+
+def make_ff_train_step(model: FFModel, tx: optax.GradientTransformation,
+                       cfg: RenderSettings, *,
+                       donate: bool = True) -> Callable:
+  """Jitted fine-stage train step for the forward-facing model.
+
+  step(state, rb, weights, rng) -> (state, metrics).  Gradients reach only
+  the fine-stage groups; make_ff_optimizer zeroes the rest (and the render
+  core stop_gradients the coarse program), so the frozen coarse params are
+  bit-identical across steps.
+  """
+
+  def loss_fn(params, rb, weights, rng):
+    coarse_fm, fine_fm = compute_ff_featmaps(model, params, rb)
+    ret = render_rays_mv(model, params, rb, coarse_fm, fine_fm, cfg,
+                         det=False, is_train=True, rng=rng, needs_grad=True)
+    metrics = losses_lib.compute_ff_losses(ret, rb, weights)
+    loss = metrics["loss"]
+    mse = jnp.mean((ret["outputs_fine_ref"]["rgb"] - rb["rgb"]) ** 2)
     metrics["psnr"] = -10.0 * jnp.log(mse + 1e-8) / jnp.log(10.0)
     return loss, metrics
 

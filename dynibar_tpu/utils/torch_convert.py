@@ -175,6 +175,23 @@ def convert_mono_checkpoint(pth_path: str) -> Dict[str, Any]:
   return params
 
 
+def convert_ff_coarse_checkpoint(coarse_pth: str) -> Dict[str, Any]:
+  """Reference DynibarFF *coarse* .pth (the coarse_dir checkpoint loaded by
+  model.py:192-209) -> the frozen-coarse subtree of the FFModel params."""
+  import torch
+  coarse = torch.load(coarse_pth, map_location="cpu", weights_only=False)
+  return {
+      "net_coarse_st": convert_static_aggregator(
+          _strip_module(coarse["net_coarse_st"])),
+      "net_coarse_dy": convert_dynamic_aggregator(
+          _strip_module(coarse["net_coarse_dy"])),
+      "feature_net": convert_feature_net(
+          _strip_module(coarse["feature_net"])),
+      "motion_mlp": convert_motion_mlp(_strip_module(coarse["motion_mlp"])),
+      "traj_basis": np.asarray(coarse["traj_basis"].detach().cpu().numpy()),
+  }
+
+
 def convert_ff_checkpoint(coarse_pth: str, fine_pth: str) -> Dict[str, Any]:
   """Reference DynibarFF coarse+fine .pth pair -> FFModel params pytree."""
   import torch
