@@ -1,18 +1,24 @@
 """Benchmark: rendering throughput of the forward-facing (Nvidia-eval) model.
 
-Measures rays/sec through the coarse+fine render core at the benchmark's
-working shape (64 coarse + 64 fine samples, 7 dynamic + 11 static source
-views, inverse-depth sampling, 288p sources) on whatever accelerator
-`jax.devices()` exposes, and prints ONE JSON line.
+Measures, at the benchmark's working shape (64 coarse + 64 fine samples,
+7 dynamic + 11 static source views, inverse-depth sampling, 288p sources):
+
+  * rays/sec through the coarse+fine render core (the primary metric), and
+  * sec_per_frame_512px — one full 288×512 frame through render_image_ff
+    *including* per-frame featmap encode and host readback (the BASELINE.md
+    north-star unit; previously only projected from rays/s, now measured).
+
+Prints ONE JSON line; the frame metric rides as extra fields.
 
 vs_baseline: the reference evaluates one Nvidia scene in ~8 h on 4×A100
 (README.md:61).  A scene is (N-6) frames × 11 viewpoints at 288×512 ≈
 admission of ~24 frames -> 198 renders × 147,456 rays ≈ 29.2 M rays / 28,800 s
-≈ 1,014 rays/s for the whole 4-GPU box, i.e. ~253 rays/s per A100.
-vs_baseline reports measured rays/s-per-chip ÷ 1,014 rays/s — i.e. >1 means
-ONE TPU chip beats the reference's entire 4×A100 eval throughput.  The
-estimate is documented, not measured (the repo publishes no throughput
-numbers, BASELINE.md).
+≈ 1,014 rays/s for the whole 4-GPU box, i.e. ~253 rays/s per A100 — and
+equivalently ~145 s per frame.  vs_baseline reports measured rays/s-per-chip
+÷ 1,014 rays/s; sec_per_frame_vs_baseline reports 145 ÷ measured s/frame —
+both >1 means ONE TPU chip beats the entire 4×A100 box.  The baseline is
+documented, not measured (the repo publishes no throughput numbers,
+BASELINE.md).
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_RAYS_PER_SEC_4XA100 = 1014.0
+REFERENCE_SEC_PER_FRAME_4XA100 = 28800.0 / 198.0   # ≈ 145.5 s
 
 
 def main():
@@ -94,11 +101,44 @@ def main():
   dt = time.perf_counter() - t0
 
   rays_per_sec = iters * chunk / dt
+
+  # ---- north-star: one full 288x512 frame through render_image_ff ------
+  # (featmap encode + chunked render + host readback, like the eval loop)
+  from dynibar_tpu.render.render_image import (full_image_ray_batch,
+                                               render_image_ff)
+
+  encode = jax.jit(lambda p, rb: (
+      (model.apply_feature(p, "feature_net", rb["src_rgbs"])[0], None,
+       model.apply_feature(p, "feature_net", rb["static_src_rgbs"])[1]),
+      (model.apply_feature(p, "feature_net_fine", rb["src_rgbs"])[0], None,
+       model.apply_feature(p, "feature_net_fine",
+                           rb["static_src_rgbs"])[1])))
+
+  frame_rb = full_image_ray_batch(rb, rb["camera"])
+
+  def one_frame():
+    c, f = encode(params, rb)
+    out = render_image_ff(model, params, frame_rb, c, f, cfg,
+                          chunk_size=chunk, height=288, width=512)
+    return out["outputs_fine_ref"]["rgb"]   # numpy => host readback done
+
+  rgb = one_frame()                          # warmup/compile
+  assert np.isfinite(rgb).all()
+  n_frames = int(os.environ.get("DYNIBAR_BENCH_FRAMES", "2"))
+  t0 = time.perf_counter()
+  for _ in range(n_frames):
+    rgb = one_frame()
+  sec_per_frame = (time.perf_counter() - t0) / n_frames
+
   print(json.dumps({
       "metric": "ff_eval_rays_per_sec_per_chip",
       "value": round(rays_per_sec, 1),
       "unit": "rays/s",
       "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_4XA100, 3),
+      "sec_per_frame_512px": round(sec_per_frame, 3),
+      "sec_per_frame_vs_baseline": round(
+          REFERENCE_SEC_PER_FRAME_4XA100 / sec_per_frame, 3),
+      "scene_minutes_projected": round(198 * sec_per_frame / 60.0, 1),
   }))
 
 

@@ -27,6 +27,8 @@ def main():
   ap.add_argument("--fine_ckpt", type=str, default="")
   ap.add_argument("--lpips_weights_dir", type=str, default="")
   ap.add_argument("--results_json", type=str, default="")
+  ap.add_argument("--max_frames", type=int, default=0,
+                  help="evaluate only the first N frames (0 = all)")
   known, _ = ap.parse_known_args()
   config = parse_config_args()
 
@@ -37,7 +39,7 @@ def main():
   from dynibar_tpu.data.nvidia import NvidiaSceneData
   all_results = {}
   for scene in config.eval_scenes:
-    data = NvidiaSceneData(config, scene)
+    data = NvidiaSceneData(config, scene, height=config.training_height)
     config.num_frames = data.num_frames
     cfg = config.render_settings("ff")
     model = FFModel(cfg=cfg, num_frames=data.num_frames)
@@ -56,9 +58,12 @@ def main():
         params = model.init_params(jax.random.PRNGKey(0))
         print("WARNING: no checkpoint found — evaluating random init")
 
+    frame_range = (range(3, min(3 + known.max_frames, data.num_frames - 3))
+                   if known.max_frames else None)
     result = evaluate_scene(
         config, model, params, scene,
-        lpips_weights_dir=known.lpips_weights_dir or None)
+        lpips_weights_dir=known.lpips_weights_dir or None,
+        frame_range=frame_range)
     all_results[scene] = result
     print(f"[{scene}] {json.dumps(result)}")
 

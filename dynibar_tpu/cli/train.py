@@ -159,8 +159,14 @@ def main():
           provider = getattr(data, "providers", [data])[0]
           gt = provider._load_rgb(frame_idx)
           gt_disp = provider._load_disp(frame_idx)
+          try:
+            gt_flows = np.stack([provider._load_flow(frame_idx, o)[0]
+                                 for o in (1, 2, 3, -1, -2, -3)])
+          except (FileNotFoundError, OSError):
+            gt_flows = None
           log_train_view(logger, global_step, model, state.params, rb_host,
-                         cfg, config.chunk_size, gt, gt_disp)
+                         cfg, config.chunk_size, gt, gt_disp,
+                         gt_flows=gt_flows)
 
       # one-shot pre-virtual-view snapshot (reference train.py:503-506)
       if epoch + 1 == config.init_decay_epoch * 5:

@@ -15,6 +15,39 @@ import os
 import numpy as np
 
 
+def write_synthetic_nvidia_scene(root: str, scene: str = "Balloon1",
+                                 num_frames: int = 12, height: int = 32,
+                                 width: int = 48, seed: int = 0) -> str:
+  """Nvidia Dynamic Scenes benchmark layout on top of the monocular scene:
+  adds ``mv_images/<idx>/camXX.jpg`` + ``mv_masks/<idx>/camXX.png`` GT for
+  the 12 round-robin viewpoints and ``coarse_masks/`` (reference
+  eval_nvidia.py:100-169 read paths), so the full eval protocol runs."""
+  import imageio.v2 as imageio
+  write_synthetic_scene(root, scene, num_frames=num_frames, height=height,
+                        width=width, seed=seed)
+  dense = os.path.join(root, scene, "dense")
+  os.makedirs(os.path.join(dense, "coarse_masks"), exist_ok=True)
+  yy, xx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+  for idx in range(num_frames):
+    mv_img_dir = os.path.join(dense, "mv_images", f"{idx:05d}")
+    mv_mask_dir = os.path.join(dense, "mv_masks", f"{idx:05d}")
+    os.makedirs(mv_img_dir, exist_ok=True)
+    os.makedirs(mv_mask_dir, exist_ok=True)
+    cx = width * (0.3 + 0.4 * idx / num_frames)
+    blob = np.exp(-(((xx - cx) ** 2) + (yy - height * 0.5) ** 2) / 20.0)
+    dyn = (blob > 0.2).astype(np.uint8) * 255
+    imageio.imwrite(os.path.join(dense, "coarse_masks", f"{idx:05d}.png"),
+                    255 - dyn)  # 1 = static
+    for cam in range(12):
+      img = np.clip(0.5 + 0.3 * np.sin((xx + yy + cam + idx) / 9.0), 0, 1)
+      img8 = (np.stack([img] * 3, axis=-1) * 255).astype(np.uint8)
+      imageio.imwrite(os.path.join(mv_img_dir, f"cam{cam + 1:02d}.jpg"),
+                      img8)
+      imageio.imwrite(os.path.join(mv_mask_dir, f"cam{cam + 1:02d}.png"),
+                      dyn)
+  return scene
+
+
 def write_synthetic_scene(root: str, scene: str = "synthetic",
                           num_frames: int = 12, height: int = 32,
                           width: int = 48, focal: float = 40.0,

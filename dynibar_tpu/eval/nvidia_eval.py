@@ -66,7 +66,7 @@ def evaluate_scene(
   """Run the full benchmark protocol on one scene; returns metric tables."""
   import jax.numpy as jnp
 
-  data = NvidiaSceneData(config, scene)
+  data = NvidiaSceneData(config, scene, height=config.training_height)
   cfg = model.cfg
   lpips = LPIPSMetric(lpips_weights_dir)
   full = MetricAccumulator()

@@ -133,13 +133,19 @@ def _to_images(merged: Dict[str, Dict[str, np.ndarray]], height: int,
 # jitted chunk renderers are cached per (model, cfg, det): a fresh closure
 # per frame would retrace on every rendered image of an eval loop
 @functools.lru_cache(maxsize=16)
-def _mono_chunk_fn(model, cfg: RenderSettings, det: bool):
+def _mono_chunk_fn(model, cfg: RenderSettings, det: bool,
+                   train_view: bool = False):
+  """train_view=True renders the full training program (cross-time anchor
+  branch included) and keeps the observability fields the reference's
+  log_view_to_tb panels need (train.py:576-762): anchor rgb/depth, the
+  occlusion-weight map, expected-scene-flow and rendered flows."""
   @jax.jit
   def render_chunk(params, rb_chunked, featmaps, i):
     chunk = _take_chunk(rb_chunked, i)
     cov = []
     ret = render_rays_mono(model, params, chunk, featmaps, cfg,
-                           is_train=False, det=det, cov_out=cov)
+                           is_train=train_view, det=det, cov_out=cov,
+                           needs_grad=False)
     keep = {}
     for name in ("outputs_coarse_ref", "outputs_coarse_st"):
       o = ret[name]
@@ -148,6 +154,17 @@ def _mono_chunk_fn(model, cfg: RenderSettings, det: bool):
       if "rgb_static" in o:
         keep[name]["rgb_static"] = o["rgb_static"]
         keep[name]["rgb_dy"] = o["rgb_dy"]
+    if train_view:
+      o = ret["outputs_coarse_ref"]
+      keep["outputs_coarse_ref"]["exp_sf"] = o["exp_sf"]
+      # [V, R, 2] -> per-ray leading axis for the chunk concat
+      keep["outputs_coarse_ref"]["render_flows"] = jnp.transpose(
+          o["render_flows"], (1, 0, 2))
+      a = ret["outputs_coarse_anchor"]
+      keep["outputs_coarse_anchor"] = {
+          "rgb": a["rgb"], "depth": a["depth"],
+          "mask": a["mask"].astype(jnp.float32),
+          "occ_weight_map": a["occ_weight_map"]}
     return keep, jnp.all(jnp.stack(cov)) if cov else jnp.asarray(True)
   return render_chunk
 
@@ -176,7 +193,8 @@ def _exact_cfg(cfg: RenderSettings) -> RenderSettings:
 def render_image_mono(model, params, rb: Dict[str, Any], featmaps,
                       cfg: RenderSettings, chunk_size: int,
                       height: int, width: int, det: bool = True,
-                      mesh=None, stats: Optional[dict] = None
+                      mesh=None, stats: Optional[dict] = None,
+                      train_view: bool = False
                       ) -> Dict[str, Dict[str, np.ndarray]]:
   """Render a full target view with the monocular model.
 
@@ -187,8 +205,8 @@ def render_image_mono(model, params, rb: Dict[str, Any], featmaps,
   {'chunks', 'exact_fallback_chunks'}.
   """
   rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
-  render_chunk = _mono_chunk_fn(model, cfg, det)
-  exact = (_mono_chunk_fn(model, _exact_cfg(cfg), det)
+  render_chunk = _mono_chunk_fn(model, cfg, det, train_view)
+  exact = (_mono_chunk_fn(model, _exact_cfg(cfg), det, train_view)
            if cfg.strip_sampling and cfg.strip_auto_exact else None)
   merged = _run_chunks(render_chunk, params, rb_c, (featmaps,), n_chunks,
                        n_rays, exact_chunk=exact, stats=stats)

@@ -18,6 +18,7 @@ import numpy as np
 class MetricsLogger:
   def __init__(self, log_dir: str, use_tensorboard: bool = True):
     os.makedirs(log_dir, exist_ok=True)
+    self._log_dir = log_dir
     self._tb = None
     if use_tensorboard:
       try:
@@ -37,10 +38,21 @@ class MetricsLogger:
     self._jsonl.flush()
 
   def image(self, step: int, tag: str, img_hwc: np.ndarray):
-    """img_hwc float [H, W, 3] in [0, 1]."""
+    """img_hwc float [H, W, 3] in [0, 1].
+
+    TensorBoard when available; PNG files under <log_dir>/images/
+    otherwise, so the training panels are never silently dropped."""
     if self._tb is not None:
       self._tb.add_image(tag, np.clip(img_hwc, 0, 1),
                          step, dataformats="HWC")
+      return
+    import imageio.v2 as imageio
+    img_dir = os.path.join(self._log_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    safe_tag = tag.replace("/", "_")
+    img8 = (np.clip(img_hwc, 0, 1) * 255).astype(np.uint8)
+    imageio.imwrite(os.path.join(img_dir, f"{step:08d}_{safe_tag}.png"),
+                    img8)
 
   def close(self):
     if self._tb is not None:
