@@ -67,64 +67,92 @@ def list_images(imgdir: str) -> List[str]:
           if f.lower().endswith(("jpg", "png", "jpeg"))]
 
 
+# --- pose-frame utilities -------------------------------------------------
+# On-disk format compatibility: the camera-frame construction and the
+# average-pose recentering below must agree numerically with the stock LLFF
+# pose conventions that every released DynIBaR dataset/checkpoint was
+# produced under (the reference transcribes them at
+# ibrnet/data_loaders/llff_data_utils.py:125-213 from the public LLFF repo).
+# The math (orthonormal frame from forward/up, world -> average-camera
+# transform) is therefore fixed; the batching/vectorization is this repo's.
+
+
 def viewmatrix(z, up, pos):
-  vec2 = _normalize(z)
-  vec0 = _normalize(np.cross(up, vec2))
-  vec1 = _normalize(np.cross(vec2, vec0))
-  return np.stack([vec0, vec1, vec2, pos], 1)
+  """Orthonormal c2w frame [right, up', forward, pos] as columns [3, 4]."""
+  forward = _normalize(z)
+  right = _normalize(np.cross(up, forward))
+  true_up = _normalize(np.cross(forward, right))
+  return np.stack([right, true_up, forward, pos], 1)
 
 
 def poses_avg(poses: np.ndarray) -> np.ndarray:
+  """Mean camera of a pose stack [N, 3, 5] -> [3, 5] (with hwf column):
+  mean position, summed forward/up directions re-orthonormalized."""
   hwf = poses[0, :3, -1:]
   center = poses[:, :3, 3].mean(0)
-  vec2 = _normalize(poses[:, :3, 2].sum(0))
+  forward = poses[:, :3, 2].sum(0)
   up = poses[:, :3, 1].sum(0)
-  return np.concatenate([viewmatrix(vec2, up, center), hwf], 1)
+  return np.concatenate([viewmatrix(forward, up, center), hwf], 1)
+
+
+def _world_to_avg(poses: np.ndarray) -> np.ndarray:
+  """Inverse of the average camera as a full 4x4."""
+  c2w_avg = np.eye(4)
+  c2w_avg[:3, :4] = poses_avg(poses)[:3, :4]
+  return np.linalg.inv(c2w_avg)
+
+
+def _to_avg_frame(w2avg: np.ndarray, poses34: np.ndarray) -> np.ndarray:
+  """Apply a 4x4 world->avg transform to a batch of [..., 3, 4] poses
+  (one einsum instead of per-pose bottom-row padding + inv-multiply)."""
+  out = np.einsum("ij,...jk->...ik", w2avg[:3, :3], poses34)
+  out[..., :, 3] += w2avg[:3, 3]
+  return out
 
 
 def recenter_poses(poses: np.ndarray) -> np.ndarray:
-  poses_ = poses + 0
-  bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-  c2w = np.concatenate([poses_avg(poses)[:3, :4], bottom], -2)
-  bottom = np.tile(bottom[None], [poses.shape[0], 1, 1])
-  p = np.concatenate([poses[:, :3, :4], bottom], -2)
-  p = np.linalg.inv(c2w) @ p
-  poses_[:, :3, :4] = p[:, :3, :4]
-  return poses_
+  """Express all poses [N, 3, 5] relative to their average camera."""
+  out = poses.copy()
+  out[:, :3, :4] = _to_avg_frame(_world_to_avg(poses), poses[:, :3, :4])
+  return out
 
 
 def recenter_poses_mono(poses: np.ndarray, src_vv_poses: np.ndarray):
-  """Recenter video + virtual-view poses jointly (reference :188-213)."""
-  hwf = poses[:, :, 4:5]
-  poses_ = poses + 0
-  bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-  c2w = np.concatenate([poses_avg(poses)[:3, :4], bottom], -2)
-  bottom_t = np.tile(bottom[None], [poses.shape[0], 1, 1])
-  p = np.concatenate([poses[:, :3, :4], bottom_t], -2)
-  p = np.linalg.inv(c2w) @ p
-  poses_[:, :3, :4] = p[:, :3, :4]
+  """Recenter video poses [N, 3, 5] and virtual-view poses [N, V, 3, 4]
+  jointly in the video's average frame (reference llff_data_utils.py:188-213,
+  with the per-virtual-view python loop batched away).
 
-  num_vv = src_vv_poses.shape[1]
-  out = np.zeros((num_vv, src_vv_poses.shape[0], src_vv_poses.shape[2],
-                  src_vv_poses.shape[3] + 1))
-  for i in range(num_vv):
-    vv = np.concatenate([src_vv_poses[:, i, :3, :4], bottom_t], -2)
-    vv = np.linalg.inv(c2w) @ vv
-    out[i] = np.concatenate([vv[:, :3, :], hwf], 2)
-  return poses_, np.moveaxis(out, 1, 0)
+  Returns (poses' [N, 3, 5], vv' [N, V, 3, 5] with the hwf column).
+  """
+  w2avg = _world_to_avg(poses)
+  out = poses.copy()
+  out[:, :3, :4] = _to_avg_frame(w2avg, poses[:, :3, :4])
+
+  vv = _to_avg_frame(w2avg, src_vv_poses[:, :, :3, :4])     # [N, V, 3, 4]
+  hwf = np.broadcast_to(poses[:, None, :, 4:5],
+                        vv.shape[:2] + (3, 1))
+  return out, np.concatenate([vv, hwf], axis=-1)
 
 
 def render_path_spiral(c2w, up, rads, focal, zdelta, zrate, rots, n):
-  render_poses = []
-  rads = np.array(list(rads) + [1.0])
+  """Spiral eval-render path around an anchor camera [3, 5].
+
+  Standard LLFF spiral: camera centers trace an ellipse (radii `rads`) with
+  a z oscillation at `zrate`, every view looking at a point `focal` in
+  front of the anchor.  `zdelta` is accepted for signature parity with the
+  LLFF original but (as there) unused.
+  """
+  del zdelta
   hwf = c2w[:, 4:5]
-  for theta in np.linspace(0.0, 2.0 * np.pi * rots, n + 1)[:-1]:
-    c = np.dot(c2w[:3, :4],
-               np.array([np.cos(theta), -np.sin(theta),
-                         -np.sin(theta * zrate), 1.0]) * rads)
-    z = _normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-    render_poses.append(np.concatenate([viewmatrix(z, up, c), hwf], 1))
-  return render_poses
+  rads4 = np.append(np.asarray(rads, np.float64), 1.0)
+  thetas = np.linspace(0.0, 2.0 * np.pi * rots, n + 1)[:-1]
+  offsets = np.stack([np.cos(thetas), -np.sin(thetas),
+                      -np.sin(thetas * zrate), np.ones_like(thetas)],
+                     axis=-1) * rads4                        # [n, 4]
+  centers = offsets @ c2w[:3, :4].T                          # [n, 3]
+  look_at = c2w[:3, :4] @ np.array([0, 0, -focal, 1.0])
+  return [np.concatenate([viewmatrix(c - look_at, up, c), hwf], 1)
+          for c in centers]
 
 
 def render_wander_path(c2w: np.ndarray, num_frames: int = 50,

@@ -15,6 +15,7 @@ released checkpoints: any misreading of the reference that a replica might
 share is caught here.
 """
 
+import os
 import sys
 import types
 
@@ -416,6 +417,49 @@ def test_ff_fine_outputs(ff_golden):
   got_dy = ff_golden.jax["outputs_fine_ref_dy"]
   np.testing.assert_allclose(_n(got_dy["rgb"]), _tn(want_dy["rgb"]),
                              atol=2e-4)
+
+
+# ------------------------------------------------------ pose-path golden
+
+def test_pose_utils_match_reference():
+  """The vectorized pose utilities must agree with the reference's LLFF
+  transcriptions (ibrnet/data_loaders/llff_data_utils.py:125-213) — the
+  on-disk pose format depends on these numerics."""
+  # load the module file directly: the data_loaders package __init__ pulls
+  # in training-only deps this environment doesn't need
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      "ref_llff_data_utils",
+      os.path.join(REF_ROOT, "ibrnet", "data_loaders", "llff_data_utils.py"))
+  ref_llff = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(ref_llff)
+  from dynibar_tpu.data import llff
+
+  rng = np.random.RandomState(11)
+  poses = rng.randn(9, 3, 5).astype(np.float64)
+  poses[:, :, 4] = np.array([48.0, 64.0, 50.0])        # hwf column
+  vv = rng.randn(9, 4, 3, 4).astype(np.float64)
+
+  np.testing.assert_allclose(llff.poses_avg(poses),
+                             ref_llff.poses_avg(poses), atol=1e-12)
+  np.testing.assert_allclose(llff.recenter_poses(poses.copy()),
+                             ref_llff.recenter_poses(poses.copy()),
+                             atol=1e-10)
+
+  got_p, got_vv = llff.recenter_poses_mono(poses.copy(), vv.copy())
+  want_p, want_vv = ref_llff.recenter_poses_mono(poses.copy(), vv.copy())
+  np.testing.assert_allclose(got_p, want_p, atol=1e-10)
+  np.testing.assert_allclose(got_vv, want_vv, atol=1e-10)
+
+  c2w = llff.poses_avg(poses)
+  up = poses[:, :3, 1].sum(0) / np.linalg.norm(poses[:, :3, 1].sum(0))
+  got_sp = np.stack(llff.render_path_spiral(
+      c2w, up, rads=(0.3, 0.2, 0.1), focal=2.0, zdelta=0.1, zrate=0.5,
+      rots=2, n=24))
+  want_sp = np.stack(ref_llff.render_path_spiral(
+      c2w, up, rads=(0.3, 0.2, 0.1), focal=2.0, zdelta=0.1, zrate=0.5,
+      rots=2, N=24))
+  np.testing.assert_allclose(got_sp, want_sp, atol=1e-10)
 
 
 # -------------------------------------------------------- sampling golden
