@@ -103,9 +103,15 @@ def main():
   rays_per_sec = iters * chunk / dt
 
   # ---- north-star: one full 288x512 frame through render_image_ff ------
-  # (featmap encode + chunked render + host readback, like the eval loop)
+  # (featmap encode + chunked render + host readback, like the eval loop).
+  # The frame renders all chunks in ONE dispatch (lax.map over the chunk
+  # axis): measured 39.3 s -> 9.5 s/frame vs per-chunk dispatch at the old
+  # 1024 default on the remote-TPU tunnel.  Frame chunk 4096 was the sweep
+  # optimum (scan: 4096 9.54s / 8192 9.70s / 16384 9.83s; per-chunk loop
+  # bottomed out at 11.2 s).
   from dynibar_tpu.render.render_image import (full_image_ray_batch,
                                                render_image_ff)
+  frame_chunk = int(os.environ.get("DYNIBAR_BENCH_FRAME_CHUNK", "4096"))
 
   encode = jax.jit(lambda p, rb: (
       (model.apply_feature(p, "feature_net", rb["src_rgbs"])[0], None,
@@ -119,7 +125,7 @@ def main():
   def one_frame():
     c, f = encode(params, rb)
     out = render_image_ff(model, params, frame_rb, c, f, cfg,
-                          chunk_size=chunk, height=288, width=512)
+                          chunk_size=frame_chunk, height=288, width=512)
     return out["outputs_fine_ref"]["rgb"]   # numpy => host readback done
 
   rgb = one_frame()                          # warmup/compile

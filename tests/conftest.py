@@ -9,6 +9,11 @@ because the axon plugin wins the env-var race otherwise.
 
 import os
 
+# opt-in TPU mode: DYNIBAR_TPU_TESTS=1 keeps the real accelerator backend so
+# tpu-gated tests (compiled-kernel parity) run; everything else skips itself
+# off-cpu or runs fine on the accelerator
+_TPU_MODE = os.environ.get("DYNIBAR_TPU_TESTS", "0") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
@@ -16,10 +21,12 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+  jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persist compiled executables across pytest runs (single-core compiles)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_dynibar_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
+if not _TPU_MODE:
+  assert jax.device_count() >= 8, "expected 8 virtual CPU devices"

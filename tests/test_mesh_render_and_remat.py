@@ -43,6 +43,22 @@ def test_mesh_sharded_render_matches_single_device(setup):
                              atol=1e-4)
 
 
+def test_scan_chunks_matches_per_chunk_dispatch(setup):
+  """The one-dispatch lax.map frame render must be bit-identical to the
+  per-chunk jit loop."""
+  model, params, rb, featmaps = setup
+  scan = render_image_mono(model, params, rb, featmaps, CFG,
+                           chunk_size=64, height=H, width=W,
+                           scan_chunks=True)
+  loop = render_image_mono(model, params, rb, featmaps, CFG,
+                           chunk_size=64, height=H, width=W,
+                           scan_chunks=False)
+  for fam in scan:
+    for key in scan[fam]:
+      np.testing.assert_allclose(scan[fam][key], loop[fam][key], atol=1e-6,
+                                 err_msg=f"{fam}/{key}")
+
+
 def test_mesh_chunk_size_must_divide(setup):
   model, params, rb, featmaps = setup
   mesh = make_mesh(jax.devices()[:8])
