@@ -107,6 +107,15 @@ def evaluate_scene(
 
       valid = np.float32(pred.sum(-1, keepdims=True) > 1e-3)
       valid = np.tile(valid, (1, 1, 3))
+      # The reference zeroes GT where the prediction is dark
+      # (eval_nvidia.py:388-390) — replicated for parity, but a mostly-dark
+      # prediction (e.g. an unconverged/random-init model) would silently
+      # inflate PSNR; make that failure mode loud.
+      invalid_frac = 1.0 - float(valid.mean())
+      if invalid_frac > 0.05:
+        log_fn(f"WARNING: frame {img_i} cam {cam_i}: valid-mask drops "
+               f"{invalid_frac:.1%} of pixels (dark prediction); "
+               "full/static/dynamic metrics are inflated for this frame")
       gt = _imread_resized(data.gt_image_path(img_i, cam_i), (w, h)) * valid
       pred = pred * valid
 

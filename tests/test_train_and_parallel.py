@@ -101,6 +101,46 @@ def test_steplr_cap_matches_reference_freeze():
   assert float(sched(10_000_000)) == pytest.approx(base * 0.5 ** cap)
 
 
+def test_steplr_cap_pins_all_six_mono_groups():
+  """All six mono param groups freeze at the SAME decay count — the one at
+  which group 0 (net_coarse_st, lr = lrate_mlp*0.5) crosses 5e-7.
+
+  The reference stops stepping its single StepLR scheduler at that moment
+  (train.py:469-471), freezing every group simultaneously; the rebuild caps
+  each group's decay exponent at the group-0-derived cap.  Equivalent only
+  because all groups share gamma and step together — pinned here at the
+  boundary for each group's base lr (reference model.py:341-351 layout)."""
+  config = DynibarConfig()
+  gamma = config.lrate_decay_factor
+  steps = max(1, config.lrate_decay_steps)
+  group_lrs = {
+      "net_coarse_st": config.lrate_mlp * 0.5,
+      "feature_net_st": config.lrate_feature * 0.5,
+      "net_coarse_dy": config.lrate_mlp,
+      "feature_net": config.lrate_feature,
+      "motion_mlp": config.lrate_mlp,
+      "traj_basis": config.lrate_mlp * 0.25,
+  }
+  cap = _lr_cap_exponent(group_lrs["net_coarse_st"], gamma)
+  # reference freeze point: smallest e with group-0 lr <= 5e-7
+  e = 0
+  while group_lrs["net_coarse_st"] * gamma ** e > 5e-7:
+    e += 1
+  assert cap == e
+  for name, base in group_lrs.items():
+    sched = steplr_schedule(base, gamma, steps, cap)
+    # one decay step before the freeze: still decaying
+    assert float(sched((cap - 1) * steps)) == pytest.approx(
+        base * gamma ** (cap - 1), rel=1e-6), name
+    # at the freeze point and forever after: pinned at base * gamma^cap
+    frozen = base * gamma ** cap
+    assert float(sched(cap * steps)) == pytest.approx(frozen, rel=1e-6), name
+    assert float(sched(100 * cap * steps)) == pytest.approx(
+        frozen, rel=1e-6), name
+  # only group 0 is guaranteed at/below the reference floor when frozen
+  assert group_lrs["net_coarse_st"] * gamma ** cap <= 5e-7
+
+
 def test_sharded_train_step_8_devices(setup):
   config, model, state, tx, rb_unused = setup
   assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
