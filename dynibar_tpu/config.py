@@ -152,9 +152,18 @@ class DynibarConfig:
   # fused_aggregators, only takes effect in bf16 mode.
   fused_aggregators_train: bool = True
   # backward implementation for the DYNAMIC aggregator when training with
-  # fused_aggregators_train: "flax" (chunked flax vjp) or "pallas"
-  # (hand-written backward kernel, ops/pallas_agg_bwd.py)
-  fused_bwd_impl: str = "flax"
+  # fused_aggregators_train: "flax" (chunked flax vjp), "pallas"
+  # (hand-written single-kernel backward) or "pallas_split" (two-kernel
+  # ray/trunk split backward; both in ops/pallas_agg_bwd.py).  Measured at
+  # the reference mono shape (V=9/10): split 39/41 ms per fwd+bwd call vs
+  # 67/72 ms chunked flax -> default on.
+  fused_bwd_impl: str = "pallas_split"
+  # backward for the STATIC aggregator: "flax" or "pallas_split".  The
+  # V=14 trunk kernel only fits the 16 MB scoped-vmem limit at a 128-lane
+  # tile, but still beats the chunked flax backward in the full step:
+  # 725 vs 821 ms/step (with the dynamic split + corner-folded sampler
+  # backward) -> default on.
+  fused_st_bwd_impl: str = "pallas_split"
   # cli/render_monocular: also assemble the rendered frames into an mp4
   # ("auto" = <out_dir>/video.mp4, "" = PNG frames only, like the reference)
   video_out: str = "auto"
@@ -235,6 +244,7 @@ class DynibarConfig:
         fused_aggregators=self.fused_aggregators,
         fused_aggregators_train=self.fused_aggregators_train,
         fused_bwd_impl=self.fused_bwd_impl,
+        fused_st_bwd_impl=self.fused_st_bwd_impl,
     )
 
 
@@ -303,8 +313,11 @@ class RenderSettings:
   # (ops/pallas_agg.attach_flax_grad) — gradients identical to the flax
   # path, primal forward faster and lighter on HBM
   fused_aggregators_train: bool = False
-  # dynamic-aggregator training backward: "flax" or "pallas"
-  fused_bwd_impl: str = "flax"
+  # dynamic-aggregator training backward: "flax", "pallas" or
+  # "pallas_split" (see DynibarConfig.fused_bwd_impl)
+  fused_bwd_impl: str = "pallas_split"
+  # static-aggregator training backward: "flax" or "pallas_split"
+  fused_st_bwd_impl: str = "pallas_split"
 
   @property
   def num_offsets(self) -> int:

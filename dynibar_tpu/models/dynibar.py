@@ -151,11 +151,12 @@ class MonoModel:
     import functools
     from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
                                             fused_dynamic_aggregator)
-    if self.cfg.fused_bwd_impl == "pallas":
+    if self.cfg.fused_bwd_impl in ("pallas", "pallas_split"):
       return fused_dynamic_aggregator(
           params["net_coarse_dy"], *args, shift=self.dy_shift,
           n_samples=self.cfg.n_samples, interpret=_pallas_interpret(),
-          pallas_bwd=True)
+          pallas_bwd=("split" if self.cfg.fused_bwd_impl == "pallas_split"
+                      else True))
     fused = functools.partial(
         fused_dynamic_aggregator, shift=self.dy_shift,
         n_samples=self.cfg.n_samples, interpret=_pallas_interpret())
@@ -166,6 +167,12 @@ class MonoModel:
     import functools
     from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
                                             fused_static_aggregator)
+    if self.cfg.fused_st_bwd_impl == "pallas_split":
+      return fused_static_aggregator(
+          params["net_coarse_st"], *args,
+          anti_alias_pooling=self.cfg.anti_alias_pooling,
+          mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret(),
+          pallas_bwd="split")
     fused = functools.partial(
         fused_static_aggregator,
         anti_alias_pooling=self.cfg.anti_alias_pooling,
@@ -270,10 +277,12 @@ class FFModel:
                                             fused_dynamic_aggregator)
     n_total = self.cfg.n_samples + (self.cfg.n_importance
                                     if stage == "fine" else 0)
-    if self.cfg.fused_bwd_impl == "pallas":
+    if self.cfg.fused_bwd_impl in ("pallas", "pallas_split"):
       return fused_dynamic_aggregator(
           params[f"net_{stage}_dy"], *args, shift=0.0, n_samples=n_total,
-          interpret=_pallas_interpret(), pallas_bwd=True)
+          interpret=_pallas_interpret(),
+          pallas_bwd=("split" if self.cfg.fused_bwd_impl == "pallas_split"
+                      else True))
     fused = functools.partial(fused_dynamic_aggregator, shift=0.0,
                               n_samples=n_total,
                               interpret=_pallas_interpret())
@@ -285,6 +294,12 @@ class FFModel:
     import functools
     from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
                                             fused_static_aggregator)
+    if self.cfg.fused_st_bwd_impl == "pallas_split":
+      return fused_static_aggregator(
+          params[f"net_{stage}_st"], *args,
+          anti_alias_pooling=self.cfg.anti_alias_pooling,
+          mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret(),
+          pallas_bwd="split")
     fused = functools.partial(
         fused_static_aggregator,
         anti_alias_pooling=self.cfg.anti_alias_pooling,

@@ -205,15 +205,23 @@ def _bsd_bwd(image_grad, res, cot):
                      axis=-1).astype(grid.dtype)
 
   if image_grad:
+    # fold the 4 patch cells into the channel axis: ONE one-hot row per
+    # point (vs 4 in the per-corner formulation) against a 4C-wide
+    # contribution.  Same MXU FLOPs, but 4x fewer one-hot compare ops /
+    # scan rows, and 4C=140 fills the 128-lane matmul tile that C=35
+    # left 73% empty.  The (hw, 4C) accumulator lands each cell's mass at
+    # its PATCH START; the true pixel is (sy+a, sx+b), restored by the
+    # zero-padded shifts below.
     cells = _cell_weights(corners, cot.dtype)
-    contribs = []
-    idxs = []
-    for k, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-      contribs.append(cot * cells[k][:, None])
-      idxs.append((sy + a) * w + (sx + b))
-    d_img = _scatter_as_matmul(jnp.concatenate(contribs, axis=0),
-                               jnp.concatenate(idxs, axis=0), h * w)
-    d_img = d_img.reshape(h, w, c).astype(img.dtype)
+    contrib = jnp.concatenate([cot * cells[k][:, None] for k in range(4)],
+                              axis=-1)                      # [N, 4C]
+    acc = _scatter_as_matmul(contrib, sy * w + sx, h * w)
+    acc = acc.reshape(h, w, 4, c)
+    d_img = (acc[:, :, 0]
+             + jnp.pad(acc[:, :, 1], ((0, 0), (1, 0), (0, 0)))[:, :w]
+             + jnp.pad(acc[:, :, 2], ((1, 0), (0, 0), (0, 0)))[:h]
+             + jnp.pad(acc[:, :, 3], ((1, 0), (1, 0), (0, 0)))[:h, :w])
+    d_img = d_img.astype(img.dtype)
   else:
     d_img = jnp.zeros_like(img)
   return d_img, d_grid

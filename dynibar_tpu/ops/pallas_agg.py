@@ -54,6 +54,13 @@ from dynibar_tpu.core.posenc import sample_axis_posenc
 # scoped at 512 lanes vs the 16 MB limit).
 _N_TARGET = int(__import__("os").environ.get("DYNIBAR_AGG_TILE", "1024"))
 _N_TARGET_DIFF = min(256, _N_TARGET)
+# two-kernel split backward: each kernel holds ~half the fused backward's
+# working set, so both the forward (which additionally spills the trunk
+# residuals) and the two backward kernels run at 512 lanes
+_N_TARGET_SPLIT_FWD = int(__import__("os").environ.get(
+    "DYNIBAR_AGG_SPLIT_FWD_TILE", "512"))
+_N_TARGET_SPLIT_BWD = int(__import__("os").environ.get(
+    "DYNIBAR_AGG_SPLIT_BWD_TILE", "512"))
 _GEO_FREQS = tuple(float(2.0 ** e) for e in range(5))  # max_freq=5, n_freq=5
 
 
@@ -217,10 +224,17 @@ def _vis_pooling(ws, get_rf, get_w, n_views, n, interpret,
 
 def _static_kernel(pp_ref, reffeat_ref, pv_ref, srcpl_ref, s_ref,
                    *refs, n_views: int, feat_ch: int, s_block: int,
-                   anti_alias: bool, mask_rgb: bool, interpret: bool):
+                   anti_alias: bool, mask_rgb: bool, interpret: bool,
+                   emit_residuals: bool = False):
   ws = refs[:36]
-  out_ref = refs[36]
-  rf_s, x_s, vis_s, w2_s, ed_s, lg_s = refs[37:]
+  if emit_residuals:
+    # split-backward mode: trunk outputs (x, vis/mask) and the per-view
+    # input features rf double as OUTPUTS read by the backward kernels
+    out_ref, x_s, vis_s, rf_s = refs[36:40]
+    w2_s, ed_s, lg_s = refs[40:]
+  else:
+    out_ref = refs[36]
+    rf_s, x_s, vis_s, w2_s, ed_s, lg_s = refs[37:]
   n = pv_ref.shape[2]
   f = feat_ch
 
@@ -310,10 +324,17 @@ def _static_kernel(pp_ref, reffeat_ref, pv_ref, srcpl_ref, s_ref,
 
 def _dynamic_kernel(pp_ref, dirfeat_ref, dirpe_ref, posenc_ref, pv_ref,
                     *refs, n_views: int, feat_ch: int, s_block: int,
-                    shift: float, interpret: bool):
+                    shift: float, interpret: bool,
+                    emit_residuals: bool = False):
   ws = refs[:36]
-  out_ref = refs[36]
-  rf_s, x_s, vis_s, w2_s = refs[37:]
+  if emit_residuals:
+    # split-backward mode: the per-view trunk outputs double as OUTPUTS
+    # (read back by the ray-side backward kernel) instead of scratch
+    out_ref, x_s, vis_s = refs[36:39]
+    rf_s, w2_s = refs[39:]
+  else:
+    out_ref = refs[36]
+    rf_s, x_s, vis_s, w2_s = refs[37:]
   n = pv_ref.shape[2]
   f = feat_ch
 
@@ -467,6 +488,31 @@ def _tile_layout(r: int, s: int, n_target: int = 0, v: int = 1):
   return g, r_pad, g * s
 
 
+def _split_bwd_tile(n: int, s_block: int, v: int, cap: int,
+                    v_lane_budget: int = 4096) -> int:
+  """Lane tile for the split backward kernels.
+
+  The ray kernel's working set scales with v * lanes (per-view residual +
+  cotangent tiles) plus lanes^2 (attention buffers); v=10 at 512 lanes
+  exceeds the 16 MB scoped-vmem limit, and a kernel embedded in the full
+  train step has ~1 MB less effective headroom than the same kernel
+  compiled standalone (layout copies).  Pick the largest 64-multiple tile
+  with v * lanes <= v_lane_budget that divides the padded lane count.
+
+  The STATIC trunk kernel carries a heavier per-view recompute (input MLP
+  + AA weight chain) whose live range Mosaic's stack allocator only
+  partially reuses across the unrolled view loop — at V=14 it needs
+  v * lanes <= 2048 (128 lanes) to fit the 16 MB scoped-vmem limit even
+  with ref-serialized weight-grad accumulation (_RefAccum).
+
+  Candidates are multiples of 128 only: Mosaic requires the lane block
+  dimension be divisible by 128."""
+  for cand in (512, 384, 256, 128):
+    if cand <= cap and v * cand <= v_lane_budget and n % cand == 0:
+      return cand
+  return s_block
+
+
 def _to_feature_major(x: jnp.ndarray, r_pad: int) -> jnp.ndarray:
   """[R,S,V,C] -> [V, C, (R+pad)*S] (padded rays are zeros -> mask 0)."""
   if r_pad:
@@ -487,11 +533,162 @@ def _full_spec(arrs):
                        memory_space=pltpu.VMEM) for a in arrs]
 
 
+def _make_st_core_diff_split(v, f, s_block, n_t, n_t_bwd, n, interpret,
+                             anti_alias, mask_rgb):
+  """custom_vjp core for the STATIC aggregator: Pallas forward emitting
+  trunk residuals (x, vis/mask, rf) + ray/trunk backward kernels
+  (ops/pallas_agg_bwd.static_bwd_*)."""
+  from dynibar_tpu.ops import pallas_agg_bwd
+
+  cfs = 2 * f + 6
+
+  def _lane2(c):
+    return pl.BlockSpec((c, n_t_bwd), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+  def _lane3(a, c):
+    return pl.BlockSpec((a, c, n_t_bwd), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+
+  def fwd_call(ws, pp, reffeat, pv, srcpl, s_par):
+    kernel = functools.partial(
+        _static_kernel, n_views=v, feat_ch=f, s_block=s_block,
+        anti_alias=anti_alias, mask_rgb=mask_rgb, interpret=interpret,
+        emit_residuals=True)
+    in_specs = [
+        pl.BlockSpec((3, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((v, f + 8, n_t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((v, 6, n_t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ] + _full_spec(ws)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // n_t,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((4, n_t), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, 128, n_t), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, 8, n_t), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, cfs, n_t), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, n), jnp.float32),
+            jax.ShapeDtypeStruct((v, 128, n), jnp.bfloat16),   # x
+            jax.ShapeDtypeStruct((v, 8, n), jnp.float32),      # vis/mask
+            jax.ShapeDtypeStruct((v, cfs, n), jnp.bfloat16),   # rf
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((v, 8, n_t), jnp.float32),          # w2
+            pltpu.VMEM((v, 8, n_t), jnp.float32),          # AA scores
+            pltpu.VMEM((v, 8, n_t), jnp.float32),          # blend logits
+        ],
+        interpret=interpret,
+    )(pp, reffeat, pv, srcpl, s_par, *ws)
+
+  @jax.custom_vjp
+  def core(ws, pp, reffeat, pv, srcpl, s_par):
+    out, _, _, _ = fwd_call(ws, pp, reffeat, pv, srcpl, s_par)
+    return out
+
+  def core_fwd(ws, pp, reffeat, pv, srcpl, s_par):
+    out, xres, visres, rfres = fwd_call(ws, pp, reffeat, pv, srcpl, s_par)
+    return out, (ws, pp, reffeat, pv, srcpl, s_par, xres, visres, rfres)
+
+  def core_bwd(res, cot):
+    ws, pp, reffeat, pv, srcpl, s_par, xres, visres, rfres = res
+    ws_trunk = tuple(ws[0:4]) + tuple(ws[4:16])   # ray_dir_fc + trunk
+    ws_ray = tuple(ws[16:36])                     # geometry|attn|sigma|rgb
+
+    ray_kernel = functools.partial(
+        pallas_agg_bwd.static_bwd_ray_kernel, n_views=v, feat_ch=f,
+        s_block=s_block, interpret=interpret)
+    r_out_shapes = (
+        [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_ray]
+        + [jax.ShapeDtypeStruct((v, 128, n), jnp.bfloat16),    # d_x
+           jax.ShapeDtypeStruct((v, 8, n), jnp.float32)])      # d_misc
+    r_out_specs = (
+        [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
+                      memory_space=pltpu.VMEM) for w in ws_ray]
+        + [_lane3(v, 128), _lane3(v, 8)])
+    r_outs = pl.pallas_call(
+        ray_kernel,
+        grid=(n // n_t_bwd,),
+        in_specs=[
+            _lane3(v, f + 8),                                  # pv
+            _lane3(v, 128),                                    # x residual
+            _lane3(v, 8),                                      # vis/mask
+            _lane2(4),                                         # cotangent
+        ] + _full_spec(ws_ray),
+        out_specs=r_out_specs,
+        out_shape=r_out_shapes,
+        interpret=interpret,
+    )(pv, xres, visres, cot, *ws_ray)
+    d_ws_ray = r_outs[:20]
+    d_x, d_misc = r_outs[20:]
+
+    trunk_kernel = functools.partial(
+        pallas_agg_bwd.static_bwd_trunk_kernel, n_views=v, feat_ch=f,
+        anti_alias=anti_alias, mask_rgb=mask_rgb, interpret=interpret)
+    t_out_shapes = (
+        [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_trunk]
+        + [jax.ShapeDtypeStruct((v, f + 8, n), jnp.float32),   # d_pv
+           jax.ShapeDtypeStruct((f + 3, n), jnp.float32),      # d_reffeat
+           jax.ShapeDtypeStruct((3, n), jnp.float32),          # d_pp
+           jax.ShapeDtypeStruct((v, 6, n), jnp.float32),       # d_srcpl
+           jax.ShapeDtypeStruct((1, n), jnp.float32)])         # d_s lanes
+    t_out_specs = (
+        [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
+                      memory_space=pltpu.VMEM) for w in ws_trunk]
+        + [_lane3(v, f + 8), _lane2(f + 3), _lane2(3), _lane3(v, 6),
+           _lane2(1)])
+    t_outs = pl.pallas_call(
+        trunk_kernel,
+        grid=(n // n_t_bwd,),
+        in_specs=[
+            _lane2(3),                                         # pp
+            _lane2(f + 3),                                     # reffeat
+            _lane3(v, f + 8),                                  # pv
+            _lane3(v, 6),                                      # srcpl
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),             # s
+            _lane3(v, cfs),                                    # rf residual
+            _lane3(v, 128),                                    # d_x
+            _lane3(v, 8),                                      # d_misc
+        ] + _full_spec(ws_trunk),
+        out_specs=t_out_specs,
+        out_shape=t_out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((v, cfs, n_t_bwd), jnp.bfloat16),       # d_rf stash
+        ],
+        interpret=interpret,
+    )(pp, reffeat, pv, srcpl, s_par, rfres, d_x, d_misc, *ws_trunk)
+    d_ws_trunk = t_outs[:16]
+    d_pv, d_reffeat, d_pp, d_srcpl, d_s_lanes = t_outs[16:]
+
+    d_ws = tuple(g.astype(w.dtype)
+                 for g, w in zip(tuple(d_ws_trunk) + tuple(d_ws_ray), ws))
+    d_s = jnp.sum(d_s_lanes).reshape(s_par.shape).astype(s_par.dtype)
+    return (d_ws, d_pp, d_reffeat.astype(reffeat.dtype),
+            d_pv.astype(pv.dtype), d_srcpl.astype(srcpl.dtype), d_s)
+
+  core.defvjp(core_fwd, core_bwd)
+  return core
+
+
 def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
                             rgb_feat, glb_ray_dir, ray_diff, mask, *,
                             anti_alias_pooling: bool = True,
                             mask_rgb: bool = True,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            pallas_bwd: bool = False) -> jnp.ndarray:
   """Drop-in fused forward of models.aggregators.StaticAggregator.
 
   Same array arguments as the flax module's __call__ (glb_ray_dir accepted
@@ -501,7 +698,8 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
   from dynibar_tpu.core.posenc import periodic_embed
   r, s, v, cfull = rgb_feat.shape
   f = cfull - 3
-  g, r_pad, n_t = _tile_layout(r, s, v=v)
+  g, r_pad, n_t = _tile_layout(
+      r, s, _N_TARGET_SPLIT_FWD if pallas_bwd == "split" else 0, v=v)
   n = (r + r_pad) * s
 
   ref_pe = periodic_embed(ref_pl, max_freq=5, n_freq=5,
@@ -523,6 +721,17 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
 
   ws = (_mlp_ws(p, "ray_dir_fc") + _pooling_ws(p) + _attn_ws(p)
         + _mlp_ws(p, "out_geometry_fc") + _mlp3_ws(p, "rgb_fc"))
+
+  if pallas_bwd == "split":
+    n_t_bwd = _split_bwd_tile(
+        n, s, v, min(_N_TARGET_SPLIT_BWD, n_t),
+        v_lane_budget=int(__import__("os").environ.get(
+            "DYNIBAR_AGG_SPLIT_ST_VLANES", "2048")))
+    out = _make_st_core_diff_split(
+        v, f, s, n_t, n_t_bwd, n, interpret, anti_alias_pooling,
+        mask_rgb)(tuple(ws), pp, reffeat, pv, srcpl, s_par)
+    raw = out.reshape(4, r + r_pad, s)[:, :r]
+    return jnp.transpose(raw, (1, 2, 0))
 
   kernel = functools.partial(
       _static_kernel, n_views=v, feat_ch=f, s_block=s,
@@ -658,6 +867,151 @@ def _make_dyn_core_diff(v, f, s_block, shift, n_t, n, interpret):
   return core
 
 
+def _make_dyn_core_diff_split(v, f, s_block, shift, n_t, n_t_bwd, n,
+                              interpret):
+  """custom_vjp core: Pallas forward emitting trunk residuals + TWO
+  backward kernels (ray-side / trunk-side, ops/pallas_agg_bwd)."""
+  from dynibar_tpu.ops import pallas_agg_bwd
+
+  cf = f + 3
+
+  def _lane2(c):
+    return pl.BlockSpec((c, n_t_bwd), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+  def _lane3(a, c, dtype=None):
+    del dtype
+    return pl.BlockSpec((a, c, n_t_bwd), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+
+  def fwd_call(ws, pp, dirfeat, dirpe, pe, pv):
+    kernel = functools.partial(
+        _dynamic_kernel, n_views=v, feat_ch=f, s_block=s_block,
+        shift=shift, interpret=interpret, emit_residuals=True)
+    in_specs = [
+        pl.BlockSpec((3, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((f + 3, n_t), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, n_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((v, f + 4, n_t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ] + _full_spec(ws)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // n_t,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((4, n_t), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, 128, n_t), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, 8, n_t), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, n), jnp.float32),
+            jax.ShapeDtypeStruct((v, 128, n), jnp.bfloat16),   # x residual
+            jax.ShapeDtypeStruct((v, 8, n), jnp.float32),      # vis/mask
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((v, f + 3, n_t), jnp.bfloat16),     # rf
+            pltpu.VMEM((v, 8, n_t), jnp.float32),          # w2
+        ],
+        interpret=interpret,
+    )(pp, dirfeat, dirpe, pe, pv, *ws)
+
+  @jax.custom_vjp
+  def core(ws, pp, dirfeat, dirpe, pe, pv):
+    out, _, _ = fwd_call(ws, pp, dirfeat, dirpe, pe, pv)
+    return out
+
+  def core_fwd(ws, pp, dirfeat, dirpe, pe, pv):
+    out, xres, visres = fwd_call(ws, pp, dirfeat, dirpe, pe, pv)
+    return out, (ws, pp, dirfeat, dirpe, pe, pv, xres, visres)
+
+  def core_bwd(res, cot):
+    ws, pp, dirfeat, dirpe, pe, pv, xres, visres = res
+    ws_trunk, ws_ray = tuple(ws[:12]), tuple(ws[12:36])
+    # re-tile the (s-periodic) sample posenc to the backward lane tile
+    pe_b = jnp.tile(pe[:, :s_block], (1, n_t_bwd // s_block))
+
+    ray_kernel = functools.partial(
+        pallas_agg_bwd.dynamic_bwd_ray_kernel, n_views=v,
+        s_block=s_block, interpret=interpret)
+    r_out_shapes = (
+        [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_ray]
+        # d_x rides to the trunk kernel in bf16: halves the inter-kernel
+        # HBM traffic AND keeps the ray kernel under the 16M scoped-vmem
+        # limit at 512 lanes (f32 d_x put it 762K over); rounding is of
+        # the same order as the bf16 flax backward's own matmul rounding
+        + [jax.ShapeDtypeStruct((v, 128, n), jnp.bfloat16),    # d_x
+           jax.ShapeDtypeStruct((v, 8, n), jnp.float32),       # d_vis
+           jax.ShapeDtypeStruct((3, n), jnp.float32),          # d_pp
+           jax.ShapeDtypeStruct((27, n), jnp.float32)])        # d_dirpe
+    r_out_specs = (
+        [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
+                      memory_space=pltpu.VMEM) for w in ws_ray]
+        + [_lane3(v, 128), _lane3(v, 8), _lane2(3), _lane2(27)])
+    r_outs = pl.pallas_call(
+        ray_kernel,
+        grid=(n // n_t_bwd,),
+        in_specs=[
+            _lane2(3),                                         # pp
+            _lane2(27),                                        # dirpe
+            pl.BlockSpec((128, n_t_bwd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # posenc
+            _lane3(v, 128),                                    # x residual
+            _lane3(v, 8),                                      # vis/mask
+            _lane2(4),                                         # cotangent
+        ] + _full_spec(ws_ray),
+        out_specs=r_out_specs,
+        out_shape=r_out_shapes,
+        interpret=interpret,
+    )(pp, dirpe, pe_b, xres, visres, cot, *ws_ray)
+    d_ws_ray = r_outs[:24]
+    d_x, d_vis, d_pp, d_dirpe = r_outs[24:]
+
+    trunk_kernel = functools.partial(
+        pallas_agg_bwd.dynamic_bwd_trunk_kernel, n_views=v, feat_ch=f,
+        interpret=interpret)
+    t_out_shapes = (
+        [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_trunk]
+        + [jax.ShapeDtypeStruct((v, f + 4, n), jnp.float32),   # d_pv
+           jax.ShapeDtypeStruct((cf, n), jnp.float32)])        # d_dirfeat
+    t_out_specs = (
+        [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
+                      memory_space=pltpu.VMEM) for w in ws_trunk]
+        + [_lane3(v, f + 4), _lane2(cf)])
+    t_outs = pl.pallas_call(
+        trunk_kernel,
+        grid=(n // n_t_bwd,),
+        in_specs=[
+            _lane2(cf),                                        # dirfeat
+            _lane3(v, f + 4),                                  # pv
+            _lane3(v, 128),                                    # d_x
+            _lane3(v, 8),                                      # d_vis
+        ] + _full_spec(ws_trunk),
+        out_specs=t_out_specs,
+        out_shape=t_out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((v, cf, n_t_bwd), jnp.float32),         # d_rf stash
+        ],
+        interpret=interpret,
+    )(dirfeat, pv, d_x, d_vis, *ws_trunk)
+    d_ws_trunk = t_outs[:12]
+    d_pv, d_dirfeat = t_outs[12:]
+
+    d_ws = tuple(g.astype(w.dtype)
+                 for g, w in zip(tuple(d_ws_trunk) + tuple(d_ws_ray), ws))
+    return (d_ws, d_pp, d_dirfeat.astype(dirfeat.dtype),
+            d_dirpe.astype(dirpe.dtype), jnp.zeros_like(pe),
+            d_pv.astype(pv.dtype))
+
+  core.defvjp(core_fwd, core_bwd)
+  return core
+
+
 def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
                              ray_diff, time_diff, mask, time, *,
                              shift: float = 0.0, n_samples: int = 64,
@@ -668,14 +1022,20 @@ def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
   Same array arguments as the flax module's __call__ (ray_diff/time_diff
   accepted for parity; the reference forward never reads them); returns
   raw [R,S,4].  pallas_bwd=True makes it differentiable via the
-  hand-written backward kernel (ops/pallas_agg_bwd.py).
+  hand-written single-kernel backward; pallas_bwd="split" via the
+  two-kernel ray/trunk split backward (both in ops/pallas_agg_bwd.py).
   """
   del ray_diff, time_diff
   from dynibar_tpu.core.posenc import periodic_embed
   r, s, v, cfull = rgb_feat.shape
   f = cfull - 3
-  g, r_pad, n_t = _tile_layout(r, s,
-                               _N_TARGET_DIFF if pallas_bwd else 0, v=v)
+  if pallas_bwd == "split":
+    diff_target = _N_TARGET_SPLIT_FWD
+  elif pallas_bwd:
+    diff_target = _N_TARGET_DIFF
+  else:
+    diff_target = 0
+  g, r_pad, n_t = _tile_layout(r, s, diff_target, v=v)
   n = (r + r_pad) * s
 
   # direction (time) feature: MLP(broadcast(t)) == broadcast(MLP(t)) — run
@@ -734,6 +1094,11 @@ def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
         ],
         interpret=interpret,
     )(pp, dirfeat, dirpe, pe_tile, pv, *ws)
+  elif pallas_bwd == "split":
+    n_t_bwd = _split_bwd_tile(n, s, v, min(_N_TARGET_SPLIT_BWD, n_t))
+    out = _make_dyn_core_diff_split(v, f, s, shift, n_t, n_t_bwd, n,
+                                    interpret)(
+        tuple(ws), pp, dirfeat, dirpe, pe_tile, pv)
   else:
     out = _make_dyn_core_diff(v, f, s, shift, n_t, n, interpret)(
         tuple(ws), pp, dirfeat, dirpe, pe_tile, pv)

@@ -38,16 +38,19 @@ def timeit(name, fn, *args, iters=6):
 def main():
   rng = jax.random.PRNGKey(0)
   results = {}
-  configs = ((False, "flax"), (True, "flax"), (True, "pallas"))
+  # (fused_train, dynamic bwd, static bwd)
+  configs = ((False, "flax", "flax"), (True, "flax", "flax"),
+             (True, "pallas", "flax"), (True, "pallas_split", "flax"),
+             (True, "pallas_split", "pallas_split"))
   if os.environ.get("DYNIBAR_TRAIN_PROFILE_ONLY"):
     wanted = os.environ["DYNIBAR_TRAIN_PROFILE_ONLY"]
     configs = tuple(c for c in configs if c[1] == wanted and c[0])
-  for fused_train, bwd in configs:
+  for fused_train, bwd, st_bwd in configs:
     config = DynibarConfig(
         N_rand=N_RAND, N_samples=64, N_importance=0, num_source_views=7,
         num_vv=3, num_basis=6, compute_dtype="bfloat16", use_remat=True,
         fused_aggregators=True, fused_aggregators_train=fused_train,
-        fused_bwd_impl=bwd)
+        fused_bwd_impl=bwd, fused_st_bwd_impl=st_bwd)
     cfg = config.render_settings("mono")
     model = MonoModel(cfg=cfg, num_frames=48, remat=True)
     state, tx = trainer_lib.create_train_state(model, config, rng)
@@ -73,11 +76,11 @@ def main():
       return loss + touch * 1e-12
 
     label = ("flax aggregators" if not fused_train
-             else f"fused-primal, {bwd} bwd")
-    results[(fused_train, bwd)] = timeit(f"train step [{label}]",
-                                         full_step, state, rb)
-  if (False, "flax") in results:
-    base = results[(False, "flax")]
+             else f"fused-primal, {bwd} dyn / {st_bwd} st bwd")
+    results[(fused_train, bwd, st_bwd)] = timeit(f"train step [{label}]",
+                                                 full_step, state, rb)
+  if (False, "flax", "flax") in results:
+    base = results[(False, "flax", "flax")]
     for k, dt in results.items():
       print(f"{k}: {base / dt:.2f}x vs flax")
 

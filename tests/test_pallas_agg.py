@@ -327,11 +327,13 @@ def _dyn_grad_setup(inputs, r=None, s=None):
   return dy, p, args
 
 
+@pytest.mark.parametrize("impl", [True, "split"])
 @pytest.mark.parametrize("r,s", [(None, None), (64, 16)])
-def test_dynamic_pallas_bwd_matches_flax(inputs, r, s):
-  """Gradients from the hand-written Pallas backward kernel
-  (ops/pallas_agg_bwd.py), for params and inputs; (64,16) covers
-  multi-grid-step weight-gradient accumulation.
+def test_dynamic_pallas_bwd_matches_flax(inputs, r, s, impl):
+  """Gradients from the hand-written Pallas backward kernels
+  (ops/pallas_agg_bwd.py; impl=True single-kernel, "split" two-kernel
+  ray/trunk), for params and inputs; (64,16) covers multi-grid-step
+  weight-gradient accumulation.
 
   Criterion: per leaf, the pallas gradient must sit no farther from the
   f32-flax truth than twice the bf16-flax gradient does (plus a small
@@ -358,7 +360,7 @@ def test_dynamic_pallas_bwd_matches_flax(inputs, r, s):
   g_pl = jax.grad(mkloss(
       lambda pp, pts, rf: fused_dynamic_aggregator(
           pp, pts, rf, *args[2:], shift=5.0, n_samples=n_s,
-          interpret=True, pallas_bwd=True)),
+          interpret=True, pallas_bwd=impl)),
       argnums=(0, 1, 2))(p, args[1], args[0])
 
   flat_pl = jax.tree_util.tree_leaves(g_pl)
@@ -375,14 +377,87 @@ def test_dynamic_pallas_bwd_matches_flax(inputs, r, s):
     assert err_pl <= 2.0 * err_16 + 0.02, (a.shape, err_pl, err_16)
 
 
-def test_dynamic_pallas_bwd_primal_matches_fused(inputs):
-  """pallas_bwd=True must not change the primal output (the two paths
-  may run at different lane tiles, which can flip an isolated boundary
-  element in interpret mode — hence allclose, not array_equal)."""
+@pytest.mark.parametrize("impl", [True, "split"])
+def test_dynamic_pallas_bwd_primal_matches_fused(inputs, impl):
+  """pallas_bwd must not change the primal output (the paths may run at
+  different lane tiles, which can flip an isolated boundary element in
+  interpret mode — hence allclose, not array_equal)."""
   dy, p, args = _dyn_grad_setup(inputs)
   a = fused_dynamic_aggregator(p, *args, shift=5.0, n_samples=S,
-                               interpret=True, pallas_bwd=True)
+                               interpret=True, pallas_bwd=impl)
   b = fused_dynamic_aggregator(p, *args, shift=5.0, n_samples=S,
                                interpret=True, pallas_bwd=False)
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                             atol=2e-2, rtol=1e-3)
+
+
+@pytest.mark.parametrize("aa", [True, False])
+def test_static_pallas_split_bwd_matches_flax(inputs, aa):
+  """Gradients from the STATIC two-kernel split backward
+  (ops/pallas_agg_bwd.static_bwd_*), for params and every differentiable
+  array input — including the anti-alias chain (d_ray_diff through the
+  exp(|s|(dot-1)) weights and the learned sharpness d_s) and the
+  per-view input-MLP chain (d_src_pl, d_ref_pl).
+
+  Same criterion as the dynamic test: per leaf, no farther from the
+  f32-flax truth than twice the bf16-flax gradient (plus a small floor)."""
+  fargs = (inputs["pts"], inputs["ref_pl"], inputs["src_pl"],
+           inputs["rgb_feat"].astype(jnp.float32), inputs["ray_dir"],
+           inputs["ray_diff"], inputs["mask"])
+  st = StaticAggregator(in_feat_ch=F, n_samples=S, compute_dtype=None,
+                        anti_alias_pooling=aa)
+  p = st.init(inputs["k_st"], *fargs)["params"]
+  st16 = StaticAggregator(in_feat_ch=F, n_samples=S,
+                          compute_dtype=jnp.bfloat16, anti_alias_pooling=aa)
+
+  def mkloss(f):
+    def loss(pp, rgb_feat, ray_diff, src_pl, ref_pl):
+      out = f(pp, rgb_feat, ray_diff, src_pl, ref_pl)
+      return jnp.mean(out[..., :3] ** 2) + jnp.mean(jnp.tanh(out[..., 3]))
+    return loss
+
+  def flax_fn(mod):
+    return lambda pp, rf, rd, sp, rpl: mod.apply(
+        {"params": pp}, fargs[0], rpl, sp, rf, fargs[4], rd, fargs[6])
+
+  def fused_fn(pp, rf, rd, sp, rpl):
+    return fused_static_aggregator(
+        pp, fargs[0], rpl, sp, rf, fargs[4], rd, fargs[6],
+        anti_alias_pooling=aa, mask_rgb=True, interpret=True,
+        pallas_bwd="split")
+
+  argnums = (0, 1, 2, 3, 4)
+  g_f32 = jax.grad(mkloss(flax_fn(st)), argnums=argnums)(
+      p, fargs[3], fargs[5], fargs[2], fargs[1])
+  g_b16 = jax.grad(mkloss(flax_fn(st16)), argnums=argnums)(
+      p, fargs[3], fargs[5], fargs[2], fargs[1])
+  g_pl = jax.grad(mkloss(fused_fn), argnums=argnums)(
+      p, fargs[3], fargs[5], fargs[2], fargs[1])
+
+  flat_pl = jax.tree_util.tree_leaves(g_pl)
+  flat_32 = jax.tree_util.tree_leaves(g_f32)
+  flat_16 = jax.tree_util.tree_leaves(g_b16)
+  assert all(np.isfinite(np.asarray(l)).all() for l in flat_pl)
+  for a, b, c in zip(flat_pl, flat_32, flat_16):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    c = np.asarray(c, np.float32)
+    scale = np.abs(b).max() + 1e-6
+    err_pl = np.abs(a - b).max() / scale
+    err_16 = np.abs(c - b).max() / scale
+    assert err_pl <= 2.0 * err_16 + 0.02, (a.shape, err_pl, err_16)
+
+
+def test_static_pallas_split_primal_matches_fused(inputs):
+  """pallas_bwd="split" must not change the static primal output."""
+  p, _ = _static_pair(inputs, None)
+  a = fused_static_aggregator(
+      p, inputs["pts"], inputs["ref_pl"], inputs["src_pl"],
+      inputs["rgb_feat"], inputs["ray_dir"], inputs["ray_diff"],
+      inputs["mask"], interpret=True, pallas_bwd="split")
+  b = fused_static_aggregator(
+      p, inputs["pts"], inputs["ref_pl"], inputs["src_pl"],
+      inputs["rgb_feat"], inputs["ray_dir"], inputs["ray_diff"],
+      inputs["mask"], interpret=True)
   np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                              atol=2e-2, rtol=1e-3)
