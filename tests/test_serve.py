@@ -132,6 +132,112 @@ def test_named_paths(session):
     named_path("spiralx", session.data)
 
 
+def _read_multipart(resp, boundary=b"--dynibar-frame"):
+  """Parse a multipart/x-mixed-replace body into a list of payloads."""
+  blob = resp.read()
+  parts = []
+  for chunk in blob.split(boundary)[1:]:
+    if chunk.startswith(b"--"):
+      break  # terminator
+    header, _, rest = chunk.partition(b"\r\n\r\n")
+    length = int([l for l in header.split(b"\r\n")
+                  if l.lower().startswith(b"content-length")][0]
+                 .split(b":")[1])
+    parts.append(rest[:length])
+  return parts
+
+
+def test_stream_endpoint(session):
+  """/stream delivers one multipart PNG part per camera-path pose."""
+  httpd = make_server(session, "127.0.0.1", 0)
+  t = threading.Thread(target=httpd.serve_forever, daemon=True)
+  t.start()
+  base = f"http://127.0.0.1:{httpd.server_port}"
+  try:
+    body = json.dumps({"path": "wander", "render_idx": 5, "num_frames": 3,
+                       "stride": 8}).encode()
+    req = urllib.request.Request(f"{base}/stream", data=body)
+    with urllib.request.urlopen(req) as resp:
+      assert resp.status == 200
+      assert resp.headers["Content-Type"].startswith(
+          "multipart/x-mixed-replace")
+      assert resp.headers["X-Frame-Count"] == "3"
+      parts = _read_multipart(resp)
+    assert len(parts) == 3
+    assert all(p[:4] == b"\x89PNG" for p in parts)
+
+    # npy stream round-trips arrays
+    body = json.dumps({
+        "c2ws": [np.asarray(session.data.c2w[5]).tolist()] * 2,
+        "frame_idxs": [5, 5], "stride": 8, "format": "npy"}).encode()
+    req = urllib.request.Request(f"{base}/stream", data=body)
+    with urllib.request.urlopen(req) as resp:
+      parts = _read_multipart(resp)
+    arrs = [np.load(io.BytesIO(p)) for p in parts]
+    assert len(arrs) == 2 and arrs[0].shape[-1] == 3
+    assert all(np.isfinite(a).all() for a in arrs)
+
+    # bad body -> clean 400 before any bytes stream
+    req = urllib.request.Request(f"{base}/stream", data=b'{"c2ws": []}')
+    try:
+      urllib.request.urlopen(req)
+      raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+      assert e.code == 400
+  finally:
+    httpd.shutdown()
+
+
+def test_multi_scene_registry(tmp_path_factory):
+  import jax as _jax
+  from dynibar_tpu.config import DynibarConfig as _Cfg
+  from dynibar_tpu.serve.registry import SessionRegistry
+
+  root = str(tmp_path_factory.mktemp("scenes"))
+  for name in ("alpha", "beta"):
+    write_synthetic_scene(root, name, num_frames=10, height=32, width=48)
+  config = _Cfg(folder_path=root, train_scenes=["alpha", "beta"],
+                training_height=32, num_source_views=4, max_range=8,
+                num_vv=2, N_samples=8, num_basis=4, chunk_size=256)
+  config.num_frames = 10
+  model = MonoModel(cfg=config.render_settings("mono"), num_frames=10)
+  params = model.init_params(jax.random.PRNGKey(0))
+  reg = SessionRegistry(config, params=params, featmap_cache=2,
+                        max_sessions=1)
+
+  assert reg.scenes()["available"] == ["alpha", "beta"]
+  s_a = reg.get()                       # default = first scene
+  assert s_a.config.train_scenes == ["alpha"]
+  assert reg.get("alpha") is s_a        # cached
+  s_b = reg.get("beta")
+  assert s_b is not s_a
+  assert reg.scenes()["loaded"] == ["beta"]   # max_sessions=1 evicted alpha
+  with pytest.raises(KeyError):
+    reg.get("gamma")
+
+  # scene routing through the HTTP surface
+  httpd = make_server(reg, "127.0.0.1", 0)
+  t = threading.Thread(target=httpd.serve_forever, daemon=True)
+  t.start()
+  base = f"http://127.0.0.1:{httpd.server_port}"
+  try:
+    scenes = json.load(urllib.request.urlopen(f"{base}/scenes"))
+    assert scenes["available"] == ["alpha", "beta"]
+    meta = json.load(urllib.request.urlopen(f"{base}/meta?scene=beta"))
+    assert meta["scene"] == "beta"
+    body = json.dumps({"c2w": np.eye(4).tolist(), "frame_idx": 5,
+                       "scene": "nope"}).encode()
+    req = urllib.request.Request(f"{base}/render", data=body)
+    try:
+      urllib.request.urlopen(req)
+      raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+      assert e.code == 400
+  finally:
+    httpd.shutdown()
+  del _jax
+
+
 def test_session_render_path_and_video_endpoint(session):
   spec_frames = session.render_path(
       [np.asarray(session.data.c2w[5])] * 2, [5, 5], stride=8)
