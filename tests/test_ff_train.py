@@ -103,6 +103,31 @@ def test_ff_train_step_freezes_coarse():
   assert changed
 
 
+def test_ff_train_step_bf16_fused_split():
+  """The production bf16 + fused config trains the FF fine stage through
+  the split Pallas backwards (dynamic with coarse+fine sample counts AND
+  static; CFG's mask_rgb=False covers the unmasked static branch)."""
+  import dataclasses
+  cfg = dataclasses.replace(CFG, compute_dtype="bfloat16",
+                            fused_aggregators=True,
+                            fused_aggregators_train=True)
+  config, _, state, tx, rb, weights = _setup()
+  model = FFModel(cfg=cfg, num_frames=NUM_FRAMES)
+  step = make_ff_train_step(model, tx, cfg, donate=False)
+  before = jax.device_get(state.params)
+  state2, metrics = step(state, rb, weights, jax.random.PRNGKey(9))
+  assert np.isfinite(float(metrics["loss"]))
+  after = jax.device_get(state2.params)
+  for key in FF_COARSE_KEYS:
+    for a, b in zip(jax.tree_util.tree_leaves(before[key]),
+                    jax.tree_util.tree_leaves(after[key])):
+      np.testing.assert_array_equal(a, b, err_msg=key)
+  assert any(
+      float(np.abs(a - b).max()) > 0
+      for a, b in zip(jax.tree_util.tree_leaves(before["net_fine_dy"]),
+                      jax.tree_util.tree_leaves(after["net_fine_dy"])))
+
+
 def test_nvidia_train_sampler_and_driver_pieces(tmp_path):
   """On-disk FF training data path: synthetic scene -> NvidiaSceneData
   train batch -> one fine-stage step; plus coarse_dir .pth loading."""
