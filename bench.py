@@ -136,7 +136,19 @@ def main():
     rgb = one_frame()
   sec_per_frame = (time.perf_counter() - t0) / n_frames
 
-  print(json.dumps({
+  # ---- training: one full mono step at the reference shape -------------
+  # (N_rand=3072, 64 samples, 8-term loss, grads, adam; split-kernel
+  # aggregator backwards + corner-folded sampler gradient).  Guarded so a
+  # training-path failure can never lose the primary eval metrics.
+  train_sec_per_step = None
+  if os.environ.get("DYNIBAR_BENCH_TRAIN", "1") == "1":
+    try:
+      train_sec_per_step = _train_step_seconds()
+    except Exception as e:  # noqa: BLE001 — report eval metrics regardless
+      print(f"# train-step bench failed: {type(e).__name__}: {e}",
+            flush=True)
+
+  result = {
       "metric": "ff_eval_rays_per_sec_per_chip",
       "value": round(rays_per_sec, 1),
       "unit": "rays/s",
@@ -145,7 +157,59 @@ def main():
       "sec_per_frame_vs_baseline": round(
           REFERENCE_SEC_PER_FRAME_4XA100 / sec_per_frame, 3),
       "scene_minutes_projected": round(198 * sec_per_frame / 60.0, 1),
-  }))
+  }
+  if train_sec_per_step is not None:
+    result["train_sec_per_step"] = round(train_sec_per_step, 3)
+  print(json.dumps(result))
+
+
+def _train_step_seconds(iters: int = 4) -> float:
+  """One monocular train step at the reference shape (see
+  scripts/profile_train_fused.py for the sweep version)."""
+  from dynibar_tpu.config import DynibarConfig
+  from dynibar_tpu.data.ray_batch import synthetic_mono_batch
+  from dynibar_tpu.models.dynibar import MonoModel
+  from dynibar_tpu.render.render_rays import render_rays_mono
+  from dynibar_tpu.train import losses as losses_lib
+  from dynibar_tpu.train import trainer as trainer_lib
+
+  rng = jax.random.PRNGKey(0)
+  config = DynibarConfig(
+      N_rand=3072, N_samples=64, N_importance=0, num_source_views=7,
+      num_vv=3, num_basis=6, compute_dtype="bfloat16", use_remat=True,
+      fused_aggregators=True)
+  cfg = config.render_settings("mono")
+  model = MonoModel(cfg=cfg, num_frames=48, remat=True)
+  state, tx = trainer_lib.create_train_state(model, config, rng)
+  rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
+      cfg, n_rays=3072, h=288, w=512, num_frames=48).items()}
+  weights = losses_lib.schedule_weights(config, epoch=2)
+
+  @jax.jit
+  def full_step(feedback, st, b):
+    b = dict(b, rgb=b["rgb"] + feedback)
+
+    def lf(params):
+      fm = trainer_lib.compute_featmaps(model, params, b)
+      ret = render_rays_mono(model, params, b, fm, cfg,
+                             is_train=True, det=False, rng=rng)
+      return losses_lib.compute_mono_losses(ret, b, weights)["loss"]
+
+    loss, grads = jax.value_and_grad(lf)(st.params)
+    updates, _ = tx.update(grads, st.opt_state, st.params)
+    new_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        st.params, updates)
+    touch = sum(jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(new_params))
+    return loss + touch * 1e-12
+
+  fb = full_step(jnp.float32(0), state, rb)
+  float(fb)                                   # host sync (see module doc)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    fb = full_step(fb * 1e-12, state, rb)
+  float(fb)
+  return (time.perf_counter() - t0) / iters
 
 
 if __name__ == "__main__":

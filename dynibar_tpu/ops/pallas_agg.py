@@ -533,21 +533,26 @@ def _full_spec(arrs):
                        memory_space=pltpu.VMEM) for a in arrs]
 
 
-def _make_st_core_diff_split(v, f, s_block, n_t, n_t_bwd, n, interpret,
-                             anti_alias, mask_rgb):
+def _make_st_core_diff_split(v, f, s_block, n_t, n_t_ray, n_t_trunk, n,
+                             interpret, anti_alias, mask_rgb):
   """custom_vjp core for the STATIC aggregator: Pallas forward emitting
   trunk residuals (x, vis/mask, rf) + ray/trunk backward kernels
-  (ops/pallas_agg_bwd.static_bwd_*)."""
+  (ops/pallas_agg_bwd.static_bwd_*).
+
+  The two backward kernels take independent lane tiles: the trunk kernel's
+  per-view recompute caps it at 128 lanes for V=14, but the ray kernel
+  (attention + heads, no per-view MLP recompute) fits larger tiles — a
+  shared tile would halve its throughput for nothing."""
   from dynibar_tpu.ops import pallas_agg_bwd
 
   cfs = 2 * f + 6
 
-  def _lane2(c):
-    return pl.BlockSpec((c, n_t_bwd), lambda i: (0, i),
+  def _lane2(c, t):
+    return pl.BlockSpec((c, t), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
-  def _lane3(a, c):
-    return pl.BlockSpec((a, c, n_t_bwd), lambda i: (0, 0, i),
+  def _lane3(a, c, t):
+    return pl.BlockSpec((a, c, t), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
 
   def fwd_call(ws, pp, reffeat, pv, srcpl, s_par):
@@ -617,15 +622,15 @@ def _make_st_core_diff_split(v, f, s_block, n_t, n_t_bwd, n, interpret,
     r_out_specs = (
         [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
                       memory_space=pltpu.VMEM) for w in ws_ray]
-        + [_lane3(v, 128), _lane3(v, 8)])
+        + [_lane3(v, 128, n_t_ray), _lane3(v, 8, n_t_ray)])
     r_outs = pl.pallas_call(
         ray_kernel,
-        grid=(n // n_t_bwd,),
+        grid=(n // n_t_ray,),
         in_specs=[
-            _lane3(v, f + 8),                                  # pv
-            _lane3(v, 128),                                    # x residual
-            _lane3(v, 8),                                      # vis/mask
-            _lane2(4),                                         # cotangent
+            _lane3(v, f + 8, n_t_ray),                         # pv
+            _lane3(v, 128, n_t_ray),                           # x residual
+            _lane3(v, 8, n_t_ray),                             # vis/mask
+            _lane2(4, n_t_ray),                                # cotangent
         ] + _full_spec(ws_ray),
         out_specs=r_out_specs,
         out_shape=r_out_shapes,
@@ -647,26 +652,27 @@ def _make_st_core_diff_split(v, f, s_block, n_t, n_t_bwd, n, interpret,
     t_out_specs = (
         [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
                       memory_space=pltpu.VMEM) for w in ws_trunk]
-        + [_lane3(v, f + 8), _lane2(f + 3), _lane2(3), _lane3(v, 6),
-           _lane2(1)])
+        + [_lane3(v, f + 8, n_t_trunk), _lane2(f + 3, n_t_trunk),
+           _lane2(3, n_t_trunk), _lane3(v, 6, n_t_trunk),
+           _lane2(1, n_t_trunk)])
     t_outs = pl.pallas_call(
         trunk_kernel,
-        grid=(n // n_t_bwd,),
+        grid=(n // n_t_trunk,),
         in_specs=[
-            _lane2(3),                                         # pp
-            _lane2(f + 3),                                     # reffeat
-            _lane3(v, f + 8),                                  # pv
-            _lane3(v, 6),                                      # srcpl
+            _lane2(3, n_t_trunk),                              # pp
+            _lane2(f + 3, n_t_trunk),                          # reffeat
+            _lane3(v, f + 8, n_t_trunk),                       # pv
+            _lane3(v, 6, n_t_trunk),                           # srcpl
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),             # s
-            _lane3(v, cfs),                                    # rf residual
-            _lane3(v, 128),                                    # d_x
-            _lane3(v, 8),                                      # d_misc
+            _lane3(v, cfs, n_t_trunk),                         # rf residual
+            _lane3(v, 128, n_t_trunk),                         # d_x
+            _lane3(v, 8, n_t_trunk),                           # d_misc
         ] + _full_spec(ws_trunk),
         out_specs=t_out_specs,
         out_shape=t_out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((v, cfs, n_t_bwd), jnp.bfloat16),       # d_rf stash
+            pltpu.VMEM((v, cfs, n_t_trunk), jnp.bfloat16),     # d_rf stash
         ],
         interpret=interpret,
     )(pp, reffeat, pv, srcpl, s_par, rfres, d_x, d_misc, *ws_trunk)
@@ -723,13 +729,22 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
         + _mlp_ws(p, "out_geometry_fc") + _mlp3_ws(p, "rgb_fc"))
 
   if pallas_bwd == "split":
-    n_t_bwd = _split_bwd_tile(
-        n, s, v, min(_N_TARGET_SPLIT_BWD, n_t),
-        v_lane_budget=int(__import__("os").environ.get(
+    env = __import__("os").environ
+    cap = min(_N_TARGET_SPLIT_BWD, n_t)
+    # the ray kernel has no per-view MLP recompute, so it can in principle
+    # take the dynamic kernels' 4096 budget (256 lanes at V=14) — raise
+    # via env once compile-verified on hardware; default matches the
+    # trunk kernel's verified 128-lane tile
+    n_t_ray = _split_bwd_tile(
+        n, s, v, cap, v_lane_budget=int(env.get(
+            "DYNIBAR_AGG_SPLIT_ST_RAY_VLANES", "2048")))
+    n_t_trunk = _split_bwd_tile(
+        n, s, v, cap, v_lane_budget=int(env.get(
             "DYNIBAR_AGG_SPLIT_ST_VLANES", "2048")))
     out = _make_st_core_diff_split(
-        v, f, s, n_t, n_t_bwd, n, interpret, anti_alias_pooling,
-        mask_rgb)(tuple(ws), pp, reffeat, pv, srcpl, s_par)
+        v, f, s, n_t, n_t_ray, n_t_trunk, n, interpret,
+        anti_alias_pooling, mask_rgb)(tuple(ws), pp, reffeat, pv, srcpl,
+                                      s_par)
     raw = out.reshape(4, r + r_pad, s)[:, :r]
     return jnp.transpose(raw, (1, 2, 0))
 
