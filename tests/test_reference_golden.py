@@ -462,6 +462,168 @@ def test_pose_utils_match_reference():
   np.testing.assert_allclose(got_sp, want_sp, atol=1e-10)
 
 
+# ------------------------------------------------------------ loss golden
+
+def _ref_mono_losses(ret, rb, *, epoch, cfg):
+  """Transcription of the reference 8-term loss assembly (train.py:300-456)
+  driven by the ACTUAL criterion helpers (ibrnet/criterion.py:21-85) on the
+  reference's own render outputs.
+
+  The only piece not imported verbatim is the distortion term: the
+  reference calls the external CUDA op ``eff_distloss_native``
+  (torch_efficient_distloss, train.py:24,421-423), absent in this
+  environment — the O(N²) pairwise definition from mip-NeRF-360 stands in
+  as its mathematical ground truth.
+  """
+  from ibrnet.criterion import (Criterion, compute_flow_loss,  # noqa: E402
+                                compute_rgb_loss, compute_temporal_rgb_loss)
+
+  t = lambda k: torch.from_numpy(np.asarray(rb[k]))
+  ray_batch = {"rgb": t("rgb"), "disp": t("disp"),
+               "motion_mask": t("motion_mask"),
+               "static_mask": t("static_mask"),
+               "flows": t("flows"), "masks": t("flow_masks")}
+  rgb_criterion = Criterion()
+  divisor = epoch // cfg.init_decay_epoch
+
+  rgb_loss = rgb_criterion(ret["outputs_coarse_ref"], ray_batch)
+  rgb_loss = rgb_loss + compute_temporal_rgb_loss(
+      ret["outputs_coarse_anchor"], ray_batch)
+  if epoch < cfg.init_decay_epoch:
+    dynamic_mask = (ret["outputs_coarse_ref"]["mask"].float()
+                    * ray_batch["motion_mask"].float())
+    rgb_loss = rgb_loss + compute_rgb_loss(
+        ret["outputs_coarse_ref"]["rgb_dy"], ray_batch, dynamic_mask)
+  rgb_loss = rgb_loss + rgb_criterion(
+      ret["outputs_coarse_ref_dy"], ray_batch,
+      motion_mask=ray_batch["motion_mask"].float()) / (10.0 ** divisor)
+  rgb_loss = rgb_loss + compute_temporal_rgb_loss(
+      ret["outputs_coarse_anchor_dy"], ray_batch,
+      motion_mask=ray_batch["motion_mask"].float()) / (10.0 ** divisor)
+
+  w_disp = cfg.w_disp / (cfg.decay_rate ** divisor)
+  pred_disp = 1.0 / torch.clamp(ret["outputs_coarse_ref"]["depth"], min=1e-2)
+  pred_mask = ret["outputs_coarse_ref"]["mask"]
+  disp_loss = (w_disp * torch.sum(torch.abs(pred_disp - ray_batch["disp"])
+                                  * pred_mask)
+               / (torch.sum(pred_mask) + 1e-8))
+
+  w_flow = cfg.w_flow / (cfg.decay_rate ** divisor)
+  flow_mask = pred_mask[None, :, None] * ray_batch["masks"]
+  flow_loss = w_flow * compute_flow_loss(
+      ret["outputs_coarse_ref"]["render_flows"], ray_batch["flows"],
+      flow_mask)
+
+  if cfg.anneal_cycle:
+    w_cycle = min(0.5, cfg.w_cycle + divisor * cfg.cycle_factor)
+  else:
+    w_cycle = cfg.w_cycle
+  pts_traj_anchor = ret["outputs_coarse_anchor"]["pts_traj_anchor"]
+  pts_traj_ref = ret["outputs_coarse_anchor"]["pts_traj_ref"]
+  occ_weights = ret["outputs_coarse_anchor"]["occ_weights"][
+      None, ..., None].repeat(pts_traj_anchor.shape[0], 1, 1,
+                              pts_traj_anchor.shape[-1])
+  cycle_loss = (w_cycle
+                * torch.sum(torch.abs(pts_traj_ref - pts_traj_anchor)
+                            * occ_weights)
+                / (torch.sum(occ_weights) + 1e-8))
+
+  sf_seq = ret["outputs_coarse_anchor"]["sf_seq"]
+  reg_loss = cfg.w_reg * torch.mean(torch.abs(sf_seq))
+  reg_loss = reg_loss + cfg.w_reg * 0.5 * torch.mean(
+      torch.pow(sf_seq[:-1] - sf_seq[1:], 2))
+  reg_loss = reg_loss + cfg.w_reg * torch.mean(
+      torch.abs(sf_seq[:, :, 1:, :] - sf_seq[:, :, :-1, :]))
+
+  render_weights_dy = torch.sum(ret["outputs_coarse_ref"]["weights_dy"],
+                                dim=-1)
+  render_weights_st = torch.sum(ret["outputs_coarse_ref"]["weights_st"],
+                                dim=-1)
+  weights_ratio = render_weights_dy / torch.clamp(
+      render_weights_dy + render_weights_st, min=1e-9)
+  entropy_loss = -(weights_ratio * torch.log(weights_ratio + 1e-9)
+                   + (1.0 - weights_ratio)
+                   * torch.log(1.0 - weights_ratio + 1e-9))
+  entropy_loss = cfg.w_skew_entropy * torch.mean(entropy_loss)
+
+  s_vals = ret["outputs_coarse_ref"]["s_vals"]
+  mid_dist = (s_vals[:, 1:] + s_vals[:, :-1]) * 0.5
+  interval = s_vals[:, 1:] - s_vals[:, :-1]
+  w = ret["outputs_coarse_ref"]["weights"][:, :-1]
+  pair = torch.sum(w[:, :, None] * w[:, None, :]
+                   * torch.abs(mid_dist[:, :, None] - mid_dist[:, None, :]),
+                   dim=(1, 2))
+  self_term = torch.sum(w * w * interval, dim=-1) / 3.0
+  distortion_loss = cfg.w_distortion * torch.mean(pair + self_term)
+
+  static_static_mask = 1.0 - ray_batch["static_mask"].float()
+  static_static_mask = (static_static_mask
+                        * ret["outputs_coarse_ref"]["mask"].float())
+  static_static_mask = static_static_mask * (1.0 - weights_ratio).detach()
+  static_loss = compute_rgb_loss(
+      ret["outputs_coarse_ref"]["rgb_static"], ray_batch, static_static_mask)
+  if divisor > 4:
+    static_sfm_mask_2 = (static_static_mask
+                         * (weights_ratio < 0.1).float())
+    static_loss = static_loss + (
+        0.1 * torch.sum(torch.abs(render_weights_dy
+                                  * static_sfm_mask_2.detach()))
+        / torch.sum(static_sfm_mask_2 + 1e-8))
+
+  return {
+      "rgb_loss": rgb_loss, "disp_loss": disp_loss, "flow_loss": flow_loss,
+      "cycle_loss": cycle_loss, "reg_loss": reg_loss,
+      "entropy_loss": entropy_loss, "distortion_loss": distortion_loss,
+      "static_loss": static_loss,
+      "loss": (rgb_loss + cycle_loss + flow_loss + disp_loss + reg_loss
+               + entropy_loss + distortion_loss + static_loss),
+  }
+
+
+@pytest.mark.parametrize("epoch", [0, 751])
+def test_mono_losses_match_reference(mono_golden, epoch):
+  """End-to-end loss golden: the reference loss assembly (actual criterion
+  code) on the reference's render outputs vs compute_mono_losses on the JAX
+  render outputs — every term and the total.  epoch=0 covers the
+  early-phase dynamic-mask branch; epoch=751 (divisor 5 at the default
+  init_decay_epoch=150) covers the decayed weights + dynamic-suppression
+  branch (train.py:309,439)."""
+  from dynibar_tpu.config import DynibarConfig
+  from dynibar_tpu.train import losses as losses_lib
+
+  config = DynibarConfig()
+  want = _ref_mono_losses(mono_golden.ref, mono_golden.rb, epoch=epoch,
+                          cfg=config)
+  weights = losses_lib.schedule_weights(config, epoch=epoch)
+  jb = {k: jnp.asarray(v) for k, v in mono_golden.rb.items()}
+  got = losses_lib.compute_mono_losses(mono_golden.jax, jb, weights)
+
+  for key in ("rgb_loss", "disp_loss", "flow_loss", "cycle_loss",
+              "reg_loss", "entropy_loss", "distortion_loss", "static_loss",
+              "loss"):
+    np.testing.assert_allclose(
+        float(got[key]), float(want[key]), rtol=2e-3, atol=1e-6,
+        err_msg=f"{key} (epoch={epoch})")
+
+
+def test_bootstrap_loss_matches_reference(mono_golden):
+  """Phase-1 static-bootstrap loss (train.py:187-196) against the actual
+  compute_rgb_loss on the reference outputs."""
+  from ibrnet.criterion import compute_rgb_loss  # noqa: E402
+  from dynibar_tpu.train import losses as losses_lib
+
+  rb = mono_golden.rb
+  ray_batch = {"rgb": torch.from_numpy(np.asarray(rb["rgb"]))}
+  mask = (1.0 - torch.from_numpy(np.asarray(rb["static_mask"])).float())
+  mask = mask * mono_golden.ref["outputs_coarse_ref"]["mask"].float()
+  want = compute_rgb_loss(mono_golden.ref["outputs_coarse_st"]["rgb"],
+                          ray_batch, mask)
+
+  jb = {k: jnp.asarray(v) for k, v in rb.items()}
+  got = losses_lib.compute_bootstrap_loss(mono_golden.jax, jb)
+  np.testing.assert_allclose(float(got), float(want), rtol=1e-4, atol=1e-6)
+
+
 # -------------------------------------------------------- sampling golden
 
 def test_sample_pdf_matches_reference():
