@@ -35,6 +35,10 @@ REFERENCE_SEC_PER_FRAME_4XA100 = 28800.0 / 198.0   # ≈ 145.5 s
 
 
 def main():
+  # persistent compile cache: cuts re-run wall clock (remote-TPU compiles
+  # are minutes); steady-state timings below are unaffected (post-warmup)
+  from dynibar_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache()
   from dynibar_tpu.config import RenderSettings
   from dynibar_tpu.data.ray_batch import synthetic_ff_batch
   from dynibar_tpu.models.dynibar import FFModel

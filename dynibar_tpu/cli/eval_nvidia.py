@@ -22,6 +22,8 @@ from dynibar_tpu.utils import checkpoints as ckpt_lib
 
 
 def main():
+  from dynibar_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache()
   ap = argparse.ArgumentParser(add_help=False)
   ap.add_argument("--coarse_ckpt", type=str, default="")
   ap.add_argument("--fine_ckpt", type=str, default="")

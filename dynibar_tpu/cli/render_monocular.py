@@ -77,6 +77,8 @@ def render_batch_template(data: MonocularSceneData, idx: int,
 
 def main():
   import imageio.v2 as imageio
+  from dynibar_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache()
   config = parse_config_args()
   scene = config.train_scenes[0]
   data = MonocularSceneData(config, scene)

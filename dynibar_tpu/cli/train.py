@@ -60,6 +60,8 @@ def parse_args() -> DynibarConfig:
 
 
 def main():
+  from dynibar_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache()
   config = parse_args()
   if not config.train_scenes:
     raise SystemExit("error: no training scene — pass --config <file> with "

@@ -53,6 +53,8 @@ def load_coarse_params(coarse_dir: str):
 
 
 def main():
+  from dynibar_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache()
   config = parse_args()
   scenes = config.train_scenes or config.eval_scenes
   if not scenes:

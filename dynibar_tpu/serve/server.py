@@ -272,6 +272,8 @@ def serve_forever(target: Union[RenderSession, SessionRegistry],
 def main():
   import argparse
   from dynibar_tpu.cli.train import parse_args as parse_config_args
+  from dynibar_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache()
 
   ap = argparse.ArgumentParser(add_help=False)
   ap.add_argument("--host", default="127.0.0.1")
