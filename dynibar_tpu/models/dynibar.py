@@ -167,12 +167,13 @@ class MonoModel:
     import functools
     from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
                                             fused_static_aggregator)
-    if self.cfg.fused_st_bwd_impl == "pallas_split":
+    if self.cfg.fused_st_bwd_impl in ("pallas_split", "pallas_split3"):
       return fused_static_aggregator(
           params["net_coarse_st"], *args,
           anti_alias_pooling=self.cfg.anti_alias_pooling,
           mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret(),
-          pallas_bwd="split")
+          pallas_bwd=("split3" if self.cfg.fused_st_bwd_impl
+                      == "pallas_split3" else "split"))
     fused = functools.partial(
         fused_static_aggregator,
         anti_alias_pooling=self.cfg.anti_alias_pooling,
@@ -294,12 +295,13 @@ class FFModel:
     import functools
     from dynibar_tpu.ops.pallas_agg import (attach_flax_grad,
                                             fused_static_aggregator)
-    if self.cfg.fused_st_bwd_impl == "pallas_split":
+    if self.cfg.fused_st_bwd_impl in ("pallas_split", "pallas_split3"):
       return fused_static_aggregator(
           params[f"net_{stage}_st"], *args,
           anti_alias_pooling=self.cfg.anti_alias_pooling,
           mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret(),
-          pallas_bwd="split")
+          pallas_bwd=("split3" if self.cfg.fused_st_bwd_impl
+                      == "pallas_split3" else "split"))
     fused = functools.partial(
         fused_static_aggregator,
         anti_alias_pooling=self.cfg.anti_alias_pooling,

@@ -534,7 +534,8 @@ def _full_spec(arrs):
 
 
 def _make_st_core_diff_split(v, f, s_block, n_t, n_t_ray, n_t_trunk, n,
-                             interpret, anti_alias, mask_rgb):
+                             interpret, anti_alias, mask_rgb,
+                             three_kernel=False, n_t_inmlp=0):
   """custom_vjp core for the STATIC aggregator: Pallas forward emitting
   trunk residuals (x, vis/mask, rf) + ray/trunk backward kernels
   (ops/pallas_agg_bwd.static_bwd_*).
@@ -542,7 +543,12 @@ def _make_st_core_diff_split(v, f, s_block, n_t, n_t_ray, n_t_trunk, n,
   The two backward kernels take independent lane tiles: the trunk kernel's
   per-view recompute caps it at 128 lanes for V=14, but the ray kernel
   (attention + heads, no per-view MLP recompute) fits larger tiles — a
-  shared tile would halve its throughput for nothing."""
+  shared tile would halve its throughput for nothing.
+
+  three_kernel=True further splits the trunk kernel at the d_rf seam
+  (pallas_agg_bwd.static_bwd_trunk3_kernel + static_bwd_inmlp_kernel):
+  the per-view input MLP moves to its own kernel so the trunk tile can
+  grow past 128 lanes (pallas_bwd="split3")."""
   from dynibar_tpu.ops import pallas_agg_bwd
 
   cfs = 2 * f + 6
@@ -639,6 +645,83 @@ def _make_st_core_diff_split(v, f, s_block, n_t, n_t_ray, n_t_trunk, n,
     d_ws_ray = r_outs[:20]
     d_x, d_misc = r_outs[20:]
 
+    if three_kernel:
+      trunk3_kernel = functools.partial(
+          pallas_agg_bwd.static_bwd_trunk3_kernel, n_views=v, feat_ch=f,
+          anti_alias=anti_alias, mask_rgb=mask_rgb, interpret=interpret)
+      ws_trunk3 = tuple(ws[4:16])            # base_fc | vis_fc | vis_fc2
+      t3_out_shapes = (
+          [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_trunk3]
+          + [jax.ShapeDtypeStruct((v, cfs, n), jnp.float32),   # d_rf_tot
+             jax.ShapeDtypeStruct((v, 1, n), jnp.float32),     # d_dot
+             jax.ShapeDtypeStruct((1, n), jnp.float32)])       # d_s lanes
+      t3_out_specs = (
+          [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
+                        memory_space=pltpu.VMEM) for w in ws_trunk3]
+          + [_lane3(v, cfs, n_t_trunk), _lane3(v, 1, n_t_trunk),
+             _lane2(1, n_t_trunk)])
+      t3_outs = pl.pallas_call(
+          trunk3_kernel,
+          grid=(n // n_t_trunk,),
+          in_specs=[
+              _lane3(v, f + 8, n_t_trunk),                     # pv
+              pl.BlockSpec((1, 1), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM),           # s
+              _lane3(v, cfs, n_t_trunk),                       # rf residual
+              _lane3(v, 128, n_t_trunk),                       # d_x
+              _lane3(v, 8, n_t_trunk),                         # d_misc
+          ] + _full_spec(ws_trunk3),
+          out_specs=t3_out_specs,
+          out_shape=t3_out_shapes,
+          scratch_shapes=[
+              pltpu.VMEM((v, cfs, n_t_trunk), jnp.bfloat16),   # d_rf stash
+          ],
+          interpret=interpret,
+      )(pv, s_par, rfres, d_x, d_misc, *ws_trunk3)
+      d_ws_trunk3 = t3_outs[:12]
+      d_rftot, d_dot, d_s_lanes = t3_outs[12:]
+
+      inmlp_kernel = functools.partial(
+          pallas_agg_bwd.static_bwd_inmlp_kernel, n_views=v, feat_ch=f,
+          interpret=interpret)
+      ws_inmlp = tuple(ws[0:4])                                # ray_dir_fc
+      m_out_shapes = (
+          [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_inmlp]
+          + [jax.ShapeDtypeStruct((v, f + 8, n), jnp.float32),  # d_pv
+             jax.ShapeDtypeStruct((f + 3, n), jnp.float32),     # d_reffeat
+             jax.ShapeDtypeStruct((3, n), jnp.float32),         # d_pp
+             jax.ShapeDtypeStruct((v, 6, n), jnp.float32)])     # d_srcpl
+      m_out_specs = (
+          [pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
+                        memory_space=pltpu.VMEM) for w in ws_inmlp]
+          + [_lane3(v, f + 8, n_t_inmlp), _lane2(f + 3, n_t_inmlp),
+             _lane2(3, n_t_inmlp), _lane3(v, 6, n_t_inmlp)])
+      m_outs = pl.pallas_call(
+          inmlp_kernel,
+          grid=(n // n_t_inmlp,),
+          in_specs=[
+              _lane2(3, n_t_inmlp),                            # pp
+              _lane2(f + 3, n_t_inmlp),                        # reffeat
+              _lane3(v, f + 8, n_t_inmlp),                     # pv
+              _lane3(v, 6, n_t_inmlp),                         # srcpl
+              _lane3(v, cfs, n_t_inmlp),                       # d_rf_tot
+              _lane3(v, 8, n_t_inmlp),                         # d_misc
+              _lane3(v, 1, n_t_inmlp),                         # d_dot
+          ] + _full_spec(ws_inmlp),
+          out_specs=m_out_specs,
+          out_shape=m_out_shapes,
+          interpret=interpret,
+      )(pp, reffeat, pv, srcpl, d_rftot, d_misc, d_dot, *ws_inmlp)
+      d_ws_inmlp = m_outs[:4]
+      d_pv, d_reffeat, d_pp, d_srcpl = m_outs[4:]
+
+      d_ws = tuple(g.astype(w.dtype)
+                   for g, w in zip(tuple(d_ws_inmlp) + tuple(d_ws_trunk3)
+                                   + tuple(d_ws_ray), ws))
+      d_s = jnp.sum(d_s_lanes).reshape(s_par.shape).astype(s_par.dtype)
+      return (d_ws, d_pp, d_reffeat.astype(reffeat.dtype),
+              d_pv.astype(pv.dtype), d_srcpl.astype(srcpl.dtype), d_s)
+
     trunk_kernel = functools.partial(
         pallas_agg_bwd.static_bwd_trunk_kernel, n_views=v, feat_ch=f,
         anti_alias=anti_alias, mask_rgb=mask_rgb, interpret=interpret)
@@ -705,7 +788,8 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
   r, s, v, cfull = rgb_feat.shape
   f = cfull - 3
   g, r_pad, n_t = _tile_layout(
-      r, s, _N_TARGET_SPLIT_FWD if pallas_bwd == "split" else 0, v=v)
+      r, s,
+      _N_TARGET_SPLIT_FWD if pallas_bwd in ("split", "split3") else 0, v=v)
   n = (r + r_pad) * s
 
   ref_pe = periodic_embed(ref_pl, max_freq=5, n_freq=5,
@@ -728,8 +812,13 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
   ws = (_mlp_ws(p, "ray_dir_fc") + _pooling_ws(p) + _attn_ws(p)
         + _mlp_ws(p, "out_geometry_fc") + _mlp3_ws(p, "rgb_fc"))
 
-  if pallas_bwd == "split":
+  if pallas_bwd in ("split", "split3"):
     env = __import__("os").environ
+    # DYNIBAR_AGG_ST_BWD3=1 upgrades "split" to the three-kernel variant
+    # (trunk without the input MLP) without touching any config — the
+    # hardware sweep is one env var
+    three = (pallas_bwd == "split3"
+             or env.get("DYNIBAR_AGG_ST_BWD3", "0") == "1")
     cap = min(_N_TARGET_SPLIT_BWD, n_t)
     # the ray kernel has no per-view MLP recompute, so it can in principle
     # take the dynamic kernels' 4096 budget (256 lanes at V=14) — raise
@@ -741,10 +830,13 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
     n_t_trunk = _split_bwd_tile(
         n, s, v, cap, v_lane_budget=int(env.get(
             "DYNIBAR_AGG_SPLIT_ST_VLANES", "2048")))
+    n_t_inmlp = _split_bwd_tile(
+        n, s, v, cap, v_lane_budget=int(env.get(
+            "DYNIBAR_AGG_SPLIT_ST_INMLP_VLANES", "4096")))
     out = _make_st_core_diff_split(
         v, f, s, n_t, n_t_ray, n_t_trunk, n, interpret,
-        anti_alias_pooling, mask_rgb)(tuple(ws), pp, reffeat, pv, srcpl,
-                                      s_par)
+        anti_alias_pooling, mask_rgb, three_kernel=three,
+        n_t_inmlp=n_t_inmlp)(tuple(ws), pp, reffeat, pv, srcpl, s_par)
     raw = out.reshape(4, r + r_pad, s)[:, :r]
     return jnp.transpose(raw, (1, 2, 0))
 

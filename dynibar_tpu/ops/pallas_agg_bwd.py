@@ -1298,3 +1298,248 @@ def static_bwd_trunk_kernel(pp_ref, reffeat_ref, pv_ref, srcpl_ref, s_ref,
     ds_ref[...] = d_s_lane * jnp.sign(s_val)
   else:
     ds_ref[...] = jnp.zeros((1, n), jnp.float32)
+
+
+# ==========================================================================
+# Static aggregator THREE-kernel split backward (pallas_bwd="split3")
+# ==========================================================================
+#
+# The two-kernel static trunk backward above tops out at a 128-lane tile:
+# its per-view loop overlaps the 228-wide trunk recompute with the 103->256
+# input-MLP (ray_dir_fc) recompute+transpose, the source-Plucker PE chain
+# and their weight-grad matmuls, and at V=14 that stack exceeds Mosaic's
+# 16 MB scoped-vmem limit beyond 128 lanes.  The split3 variant moves the
+# input-MLP phase into its OWN kernel, cut at the d_rf seam (the total
+# cotangent of the per-view input feature rf = [pv_feat | sf * reffeat],
+# which the trunk kernel already materializes):
+#
+#   * TRUNK3 kernel: pooling-1 + per-view trunk recompute/transpose + the
+#     anti-alias weight chain.  Emits the 12 trunk weight grads, d_rf_tot
+#     [V, cfs, n] f32 (HBM residual, ~3 MB/Mpoint), d_dot and d_s.
+#   * INPUT-MLP kernel: per-view ray_dir_fc recompute/transpose from
+#     d_rf_tot; emits its 4 weight grads, the full d_pv, d_reffeat,
+#     d_pp and d_srcpl.
+#
+# Each kernel's per-view working set shrinks by the other's, which is what
+# lets the trunk tile grow past 128 lanes (sweep via
+# DYNIBAR_AGG_SPLIT_ST_VLANES once compile-verified on hardware).
+
+
+def static_bwd_trunk3_kernel(pv_ref, s_ref, rfres_ref, dx_ref, dmisc_ref,
+                             *refs, n_views: int, feat_ch: int,
+                             anti_alias: bool, mask_rgb: bool,
+                             interpret: bool):
+  """Trunk-side static backward without the input-MLP phase.
+
+  refs: 12 trunk weight refs (base_fc 4 | vis_fc 4 | vis_fc2 4) | 12
+  weight-grad out refs | d_rf_tot out [V,cfs,n] f32 | d_dot out [V,1,n]
+  f32 | d_s out [1,n] f32 (per-lane, host sums) | scratch d_rf stash
+  [V,cfs,n] bf16.
+  """
+  ws = refs[:12]
+  gws = refs[12:24]
+  drftot_ref, ddot_ref, ds_ref = refs[24:27]
+  drf_s = refs[27]
+  n = pv_ref.shape[2]
+  f = feat_ch
+  cfs = 2 * f + 6
+
+  @pl.when(pl.program_id(0) == 0)
+  def _init():
+    for g in gws:
+      g[...] = jnp.zeros_like(g)
+
+  dws = _RefAccum(gws)
+
+  # ---- masks and pooling weights (as static_bwd_trunk_kernel) ----
+  m_v = []
+  for vi in range(n_views):
+    m = pv_ref[vi, 7 + f:8 + f, :].astype(jnp.float32)
+    if mask_rgb:
+      rgb_sum = jnp.sum(pv_ref[vi, 0:3, :].astype(jnp.float32), axis=0,
+                        keepdims=True)
+      m = m * (rgb_sum > 1e-3).astype(jnp.float32)
+    m_v.append(m)
+
+  if anti_alias:
+    s_val = s_ref[0, 0]
+    s_abs = jnp.abs(s_val)
+    dot_v = [pv_ref[vi, 6 + f:7 + f, :].astype(jnp.float32)
+             for vi in range(n_views)]
+    ed_v = [jnp.exp(s_abs * (d - 1.0)) for d in dot_v]
+    emin = ed_v[0]
+    for vi in range(1, n_views):
+      emin = jnp.minimum(emin, ed_v[vi])
+    wp_v = [(ed_v[vi] - emin) * m_v[vi] for vi in range(n_views)]
+    wsum = jnp.zeros((1, n), jnp.float32)
+    for wp in wp_v:
+      wsum = wsum + wp
+    winv = 1.0 / (wsum + 1e-8)
+    w_v = [wp * winv for wp in wp_v]
+  else:
+    msum = jnp.zeros((1, n), jnp.float32)
+    for m in m_v:
+      msum = msum + m
+    minv = 1.0 / (msum + 1e-8)
+    w_v = [m * minv for m in m_v]
+
+  def rf(vi):  # [2f+6,N] bf16 (saved by the forward)
+    return rfres_ref[vi][...]
+
+  mean = jnp.zeros((cfs, n), jnp.float32)
+  for vi in range(n_views):
+    mean = mean + w_v[vi] * rf(vi).astype(jnp.float32)
+  var = jnp.zeros((cfs, n), jnp.float32)
+  for vi in range(n_views):
+    var = var + w_v[vi] * (rf(vi).astype(jnp.float32) - mean) ** 2
+  gfeat0 = jnp.concatenate([mean, var], axis=0).astype(jnp.bfloat16)
+
+  # ---- per-view trunk backward (one view live at a time) ----
+  d_gfeat0 = jnp.zeros((2 * cfs, n), jnp.float32)
+  d_w = [None] * n_views
+  tok = jnp.zeros((1, 1), jnp.float32)
+  for vi in range(n_views):
+    m = m_v[vi]
+    xin = _seq_add(jnp.concatenate([gfeat0, rf(vi)], axis=0), tok)
+    a_h, x0 = _mlp2_fwd_keep(ws[0], ws[1], ws[2], ws[3], xin, interpret,
+                             True)
+    xw = (x0 * w_v[vi]).astype(jnp.bfloat16)
+    c_h, t = _mlp2_fwd_keep(ws[4], ws[5], ws[6], ws[7], xw, interpret,
+                            True)
+    x = x0 + t[:128, :]
+    sg0 = _sigmoid(t[128:129, :])
+    vis0 = sg0 * m
+    xv = (x * vis0).astype(jnp.bfloat16)
+    e_h, vh = _mlp2_fwd_keep(ws[8], ws[9], ws[10], ws[11], xv, interpret,
+                             False)
+    sg = _sigmoid(vh)
+
+    d_x = dx_ref[vi][...].astype(jnp.float32)
+    d_vis = dmisc_ref[vi, 0:1, :]
+
+    d_vh = sg * (1.0 - sg) * m * d_vis
+    d_xv = _mlp2_bwd(ws[8:12], xv, e_h, vh, d_vh, dws[8:12], interpret,
+                     False)
+
+    d_x = d_x + vis0 * d_xv
+    d_vis0 = _cdot(x, d_xv)
+    d_t128 = sg0 * (1.0 - sg0) * m * d_vis0
+
+    d_t = jnp.concatenate([d_x, d_t128], axis=0)
+    d_xw = _mlp2_bwd(ws[4:8], xw, c_h, t, d_t, dws[4:8], interpret, True)
+
+    d_x0 = d_x + w_v[vi] * d_xw
+    if anti_alias:
+      d_w[vi] = _cdot(x0, d_xw)          # x*w trunk-input weight grad
+
+    d_xin = _mlp2_bwd(ws[0:4], xin, a_h, x0, d_x0, dws[0:4], interpret,
+                      True)
+
+    d_gfeat0 = d_gfeat0 + d_xin[:2 * cfs, :]
+    drf_s[vi] = d_xin[2 * cfs:, :].astype(jnp.bfloat16)
+    tok = _seq_token(gws[0])
+
+  # ---- pooling-1 backward -> d_rf_tot residual ----
+  d_mean_p = d_gfeat0[:cfs, :]
+  d_var_p = d_gfeat0[cfs:, :]
+  s0 = jnp.zeros((cfs, n), jnp.float32)
+  for vi in range(n_views):
+    s0 = s0 + w_v[vi] * (rf(vi).astype(jnp.float32) - mean)
+  d_mean_eff = d_mean_p - 2.0 * d_var_p * s0
+
+  for vi in range(n_views):
+    rf_f = rf(vi).astype(jnp.float32)
+    d_rf1 = (w_v[vi] * d_mean_eff
+             + 2.0 * w_v[vi] * (rf_f - mean) * d_var_p)
+    if anti_alias:
+      d_w[vi] = (d_w[vi] + _cdot(rf_f, d_mean_eff)
+                 + _cdot((rf_f - mean) ** 2, d_var_p))
+    drftot_ref[vi] = drf_s[vi][...].astype(jnp.float32) + d_rf1
+
+  # ---- anti-alias weight chain -> d_dot / d_s ----
+  if anti_alias:
+    sw = jnp.zeros((1, n), jnp.float32)
+    for vi in range(n_views):
+      sw = sw + w_v[vi] * d_w[vi]
+    d_wp = [winv * (d_w[vi] - sw) for vi in range(n_views)]
+    d_emin = jnp.zeros((1, n), jnp.float32)
+    for vi in range(n_views):
+      d_emin = d_emin - m_v[vi] * d_wp[vi]
+    cnt = jnp.zeros((1, n), jnp.float32)
+    for vi in range(n_views):
+      cnt = cnt + (ed_v[vi] == emin).astype(jnp.float32)
+    d_s_lane = jnp.zeros((1, n), jnp.float32)
+    for vi in range(n_views):
+      d_ed = (m_v[vi] * d_wp[vi]
+              + (ed_v[vi] == emin).astype(jnp.float32) / cnt * d_emin)
+      ddot_ref[vi] = d_ed * ed_v[vi] * s_abs
+      d_s_lane = d_s_lane + d_ed * ed_v[vi] * (dot_v[vi] - 1.0)
+    ds_ref[...] = d_s_lane * jnp.sign(s_val)
+  else:
+    for vi in range(n_views):
+      ddot_ref[vi] = jnp.zeros((1, n), jnp.float32)
+    ds_ref[...] = jnp.zeros((1, n), jnp.float32)
+
+
+def static_bwd_inmlp_kernel(pp_ref, reffeat_ref, pv_ref, srcpl_ref,
+                            drftot_ref, dmisc_ref, ddot_ref, *refs,
+                            n_views: int, feat_ch: int, interpret: bool):
+  """Input-MLP (ray_dir_fc) backward: per-view recompute/transpose from the
+  d_rf_tot residual; assembles the full d_pv.
+
+  refs: 4 weight refs (ray_dir_fc) | 4 weight-grad out refs | d_pv out
+  [V,f+8,n] f32 | d_reffeat out [f+3,n] f32 | d_pp out [3,n] f32 |
+  d_srcpl out [V,6,n] f32.
+  """
+  ws = refs[:4]
+  gws = refs[4:8]
+  dpv_ref, dreffeat_ref, dpp_ref, dsrcpl_ref = refs[8:12]
+  n = pv_ref.shape[2]
+  f = feat_ch
+  cfs = 2 * f + 6
+
+  @pl.when(pl.program_id(0) == 0)
+  def _init():
+    for g in gws:
+      g[...] = jnp.zeros_like(g)
+
+  dws = _RefAccum(gws)
+
+  pts_pe = _pe_rows(pp_ref[0:3, :], _GEO_FREQS)
+  pts_pe_bf = pts_pe.astype(jnp.bfloat16)
+  reffeat_f = reffeat_ref[...].astype(jnp.float32)
+  d_reffeat = jnp.zeros((f + 3, n), jnp.float32)
+  d_ptspe = jnp.zeros((pts_pe.shape[0], n), jnp.float32)
+  tok = jnp.zeros((1, 1), jnp.float32)
+  for vi in range(n_views):
+    d_rf_tot = drftot_ref[vi][...]
+    d_c = d_rf_tot[f + 3:cfs, :]
+
+    src_pe = _pe_rows(srcpl_ref[vi, 0:6, :], _GEO_FREQS)
+    h_in = _seq_add(jnp.concatenate(
+        [pts_pe_bf, src_pe.astype(jnp.bfloat16),
+         pv_ref[vi, 3 + f:7 + f, :]], axis=0), tok)            # [103,N]
+    hh, sf = _mlp2_fwd_keep(ws[0], ws[1], ws[2], ws[3], h_in, interpret,
+                            False)
+    d_sf = d_c * reffeat_f
+    d_reffeat = d_reffeat + d_c * sf
+    d_h = _mlp2_bwd(ws[0:4], h_in, hh, sf, d_sf, dws[0:4], interpret,
+                    False)
+
+    n_pe = pts_pe.shape[0]                                     # 33
+    d_ptspe = d_ptspe + d_h[0:n_pe, :]
+    d_srcpe = d_h[n_pe:n_pe + 66, :]
+    dsrcpl_ref[vi] = _pe_bwd(d_srcpe, srcpl_ref[vi, 0:6, :], _GEO_FREQS)
+
+    dpv_ref[vi, 0:3, :] = d_rf_tot[0:3, :] + dmisc_ref[vi, 1:4, :]
+    dpv_ref[vi, 3:3 + f, :] = d_rf_tot[3:3 + f, :]
+    dpv_ref[vi, 3 + f:6 + f, :] = (d_h[n_pe + 66:n_pe + 69, :]
+                                   + dmisc_ref[vi, 4:7, :])
+    dpv_ref[vi, 6 + f:7 + f, :] = (d_h[n_pe + 69:n_pe + 70, :]
+                                   + dmisc_ref[vi, 7:8, :]
+                                   + ddot_ref[vi][...])
+    dpv_ref[vi, 7 + f:8 + f, :] = jnp.zeros((1, n), jnp.float32)
+    tok = _seq_token(gws[0])
+
+  dreffeat_ref[...] = d_reffeat
+  dpp_ref[...] = _pe_bwd(d_ptspe, pp_ref[0:3, :], _GEO_FREQS)

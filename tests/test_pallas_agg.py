@@ -391,8 +391,9 @@ def test_dynamic_pallas_bwd_primal_matches_fused(inputs, impl):
                              atol=2e-2, rtol=1e-3)
 
 
+@pytest.mark.parametrize("impl", ["split", "split3"])
 @pytest.mark.parametrize("aa", [True, False])
-def test_static_pallas_split_bwd_matches_flax(inputs, aa):
+def test_static_pallas_split_bwd_matches_flax(inputs, aa, impl):
   """Gradients from the STATIC two-kernel split backward
   (ops/pallas_agg_bwd.static_bwd_*), for params and every differentiable
   array input — including the anti-alias chain (d_ray_diff through the
@@ -424,7 +425,7 @@ def test_static_pallas_split_bwd_matches_flax(inputs, aa):
     return fused_static_aggregator(
         pp, fargs[0], rpl, sp, rf, fargs[4], rd, fargs[6],
         anti_alias_pooling=aa, mask_rgb=True, interpret=True,
-        pallas_bwd="split")
+        pallas_bwd=impl)
 
   argnums = (0, 1, 2, 3, 4)
   g_f32 = jax.grad(mkloss(flax_fn(st)), argnums=argnums)(
@@ -448,13 +449,14 @@ def test_static_pallas_split_bwd_matches_flax(inputs, aa):
     assert err_pl <= 2.0 * err_16 + 0.02, (a.shape, err_pl, err_16)
 
 
-def test_static_pallas_split_primal_matches_fused(inputs):
-  """pallas_bwd="split" must not change the static primal output."""
+@pytest.mark.parametrize("impl", ["split", "split3"])
+def test_static_pallas_split_primal_matches_fused(inputs, impl):
+  """pallas_bwd="split"/"split3" must not change the static primal."""
   p, _ = _static_pair(inputs, None)
   a = fused_static_aggregator(
       p, inputs["pts"], inputs["ref_pl"], inputs["src_pl"],
       inputs["rgb_feat"], inputs["ray_dir"], inputs["ray_diff"],
-      inputs["mask"], interpret=True, pallas_bwd="split")
+      inputs["mask"], interpret=True, pallas_bwd=impl)
   b = fused_static_aggregator(
       p, inputs["pts"], inputs["ref_pl"], inputs["src_pl"],
       inputs["rgb_feat"], inputs["ray_dir"], inputs["ray_diff"],
