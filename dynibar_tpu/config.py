@@ -141,6 +141,18 @@ class DynibarConfig:
   strip_cols: int = 64
   strip_impl: str = "pallas"
   strip_auto_exact: bool = True
+  # opt-in training-speed mode: route the TRAINING forward through the
+  # gatherless Pallas sampler as well (backward keeps the gather path's
+  # corner-folded custom VJP,
+  # ops/pallas_sample.pallas_bilinear_sample_views_diff).  Requires
+  # coherent_ray_segment > 0: random rays collapse the per-group epipolar
+  # window coverage.  Off by default.
+  strip_train: bool = False
+  # scanline-coherent ray sampling: draw N_rand/segment random disjoint
+  # contiguous scanline segments instead of N_rand independent pixels
+  # (0 = off).  16-32 keeps each Pallas sampler group's y-window tight.
+  # Changes the sampling distribution vs the reference's uniform pixels.
+  coherent_ray_segment: int = 0
   # fused Pallas aggregator kernels for eval/render (ops/pallas_agg.py).
   # Only takes effect with compute_dtype="bfloat16" and when the caller
   # does not differentiate through the render (_agg_fns gates on gradient
@@ -240,6 +252,7 @@ class DynibarConfig:
         strip_rows=self.strip_rows,
         strip_cols=self.strip_cols,
         strip_impl=self.strip_impl,
+        strip_train=self.strip_train,
         strip_auto_exact=self.strip_auto_exact,
         fused_aggregators=self.fused_aggregators,
         fused_aggregators_train=self.fused_aggregators_train,
@@ -301,6 +314,9 @@ class RenderSettings:
   # reports a coverage miss through the exact gather program, making
   # strip_sampling bit-correct end to end (render/render_image.py)
   strip_auto_exact: bool = True
+  # opt-in: keep the strip/Pallas sampler in GRADIENT-bearing steps (see
+  # DynibarConfig.strip_train / coherent_ray_segment)
+  strip_train: bool = False
   # fused Pallas aggregator kernels (ops/pallas_agg.py): the whole
   # view-aggregation network (PEs, trunk, ray transformer, heads) runs
   # VMEM-resident per ray tile.  Forward-only — eval/render paths use it;

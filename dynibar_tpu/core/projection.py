@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from dynibar_tpu.core import cameras as cam
 from dynibar_tpu.ops.grid_sample import bilinear_sample_views
-from dynibar_tpu.ops.pallas_sample import pallas_bilinear_sample_views
+from dynibar_tpu.ops.pallas_sample import pallas_bilinear_sample_views_diff
 from dynibar_tpu.ops.strip_sample import strip_sample_views
 
 
@@ -132,14 +132,17 @@ def compute_with_motions(
   if strip is not None:
     if strip_impl == "pallas":
       # interpret mode keeps the CPU test mesh working; Mosaic compiles on
-      # real TPUs only
+      # real TPUs only.  The _diff wrapper is primal-identical to the plain
+      # kernel and only adds the gather-path VJP when differentiated
+      # (strip_train mode); featmaps carry parameter gradients, source
+      # images are data (grid gradient only).
       interp = jax.default_backend() != "tpu"
-      feats, covered = pallas_bilinear_sample_views(featmaps, grid,
-                                                    interpret=interp)
+      feats, covered = pallas_bilinear_sample_views_diff(
+          featmaps, grid, 0, 0, interp, True)
       if not fused_rgb:
         # full-res source colors through the same kernel (32-row windows)
-        rgbs, cov_rgb = pallas_bilinear_sample_views(src_rgbs, grid,
-                                                     interpret=interp)
+        rgbs, cov_rgb = pallas_bilinear_sample_views_diff(
+            src_rgbs, grid, 0, 0, interp, False)
         covered = covered & cov_rgb
     else:
       feats, covered = strip_sample_views(featmaps, grid,

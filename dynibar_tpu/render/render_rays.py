@@ -78,10 +78,13 @@ def _agg_fns(model, cfg: RenderSettings, needs_grad: bool):
 def _strip_arg(cfg: RenderSettings, needs_grad: bool = False):
   """Epipolar-strip extents for the featmap lookup, or None.
 
-  Gradient-bearing steps keep the per-sample gather: its custom VJP
-  (ops/grid_sample.py) is what makes the backward fast, while the strip
-  path's autodiff backward would be a serialized scatter of strips."""
-  if cfg.strip_sampling and not needs_grad:
+  Gradient-bearing steps keep the per-sample gather by default: its custom
+  VJP (ops/grid_sample.py) is what makes the backward fast, while the strip
+  path's autodiff backward would be a serialized scatter of strips.
+  cfg.strip_train opts training into the Pallas-primal/gather-backward
+  sampler (pallas_bilinear_sample_views_diff) — sound only with
+  scanline-coherent training rays (DynibarConfig.coherent_ray_segment)."""
+  if cfg.strip_sampling and (not needs_grad or cfg.strip_train):
     return (cfg.strip_rows, cfg.strip_cols)
   return None
 
