@@ -178,15 +178,21 @@ def _train_step_seconds(iters: int = 4) -> float:
   from dynibar_tpu.train import trainer as trainer_lib
 
   rng = jax.random.PRNGKey(0)
+  # DYNIBAR_BENCH_TRAIN_STRIP=1 measures the opt-in strip_train variant
+  # (gatherless Pallas sampler forward + gather-VJP backward on
+  # scanline-coherent rays; see DynibarConfig.strip_train)
+  strip_train = os.environ.get("DYNIBAR_BENCH_TRAIN_STRIP", "0") == "1"
   config = DynibarConfig(
       N_rand=3072, N_samples=64, N_importance=0, num_source_views=7,
       num_vv=3, num_basis=6, compute_dtype="bfloat16", use_remat=True,
-      fused_aggregators=True)
+      fused_aggregators=True, strip_sampling=strip_train,
+      strip_train=strip_train, coherent_ray_segment=16 if strip_train else 0)
   cfg = config.render_settings("mono")
   model = MonoModel(cfg=cfg, num_frames=48, remat=True)
   state, tx = trainer_lib.create_train_state(model, config, rng)
   rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
-      cfg, n_rays=3072, h=288, w=512, num_frames=48).items()}
+      cfg, n_rays=3072, h=288, w=512, num_frames=48,
+      scanline=strip_train).items()}
   weights = losses_lib.schedule_weights(config, epoch=2)
 
   @jax.jit
