@@ -101,6 +101,25 @@ def main():
   global_step = int(state.step)
   start_epoch = global_step // data.num_frames
 
+  # ---- device mesh (multi-chip / multi-host data parallelism) ----
+  import contextlib
+  from dynibar_tpu.parallel.mesh import (replicate, shard_ray_batch,
+                                         training_mesh)
+  mesh = training_mesh(config)
+  if mesh is not None:
+    if config.N_rand % mesh.size:
+      raise SystemExit(f"error: N_rand={config.N_rand} must be divisible "
+                       f"by the mesh size {mesh.size}")
+    state = replicate(mesh, state)
+    print(f"mesh-sharded training over {mesh.size} devices "
+          f"({config.N_rand // mesh.size} rays/device)")
+
+  def mesh_ctx():
+    return mesh if mesh is not None else contextlib.nullcontext()
+
+  def put(rb):
+    return shard_ray_batch(mesh, rb) if mesh is not None else rb
+
   bootstrap_step = make_train_step(model, tx, cfg, bootstrap=True,
                                    donate=config.donate_buffers)
   full_step = make_train_step(model, tx, cfg, bootstrap=False,
@@ -113,13 +132,13 @@ def main():
                             seed=epoch_holder)
 
   # ---- phase 1: static bootstrap (reference train.py:116-225) ----
-  with batches(0) as pipe:
+  with mesh_ctx(), batches(0) as pipe:
     for epoch in range(start_epoch, config.init_decay_epoch // 2):
       data.set_epoch(epoch)
       for _ in range(data.num_frames):
         rb = next(pipe)
         rng, sub = jax.random.split(rng)
-        state, metrics = bootstrap_step(state, rb, None, sub)
+        state, metrics = bootstrap_step(state, put(rb), None, sub)
         global_step += 1
         if global_step % config.i_print == 0:
           logger.scalars(global_step,
@@ -127,7 +146,7 @@ def main():
                          prefix="bootstrap/")
 
   # ---- phase 2: main loop (reference train.py:227-573) ----
-  with batches(1) as pipe:
+  with mesh_ctx(), batches(1) as pipe:
     epoch = start_epoch
     t0 = time.time()
     while global_step < start_step + config.n_iters + 1:
@@ -136,7 +155,7 @@ def main():
       for _ in range(data.num_frames):
         rb = next(pipe)
         rng, sub = jax.random.split(rng)
-        state, metrics = full_step(state, rb, weights, sub)
+        state, metrics = full_step(state, put(rb), weights, sub)
         global_step += 1
 
         if global_step % config.i_print == 0:

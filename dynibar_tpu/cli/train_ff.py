@@ -96,20 +96,37 @@ def main():
   step_fn = make_ff_train_step(model, tx, cfg,
                                donate=config.donate_buffers)
 
+  import contextlib
+  from dynibar_tpu.parallel.mesh import (replicate, shard_ray_batch,
+                                         training_mesh)
+  mesh = training_mesh(config)
+  if mesh is not None:
+    if config.N_rand % mesh.size:
+      raise SystemExit(f"error: N_rand={config.N_rand} must be divisible "
+                       f"by the mesh size {mesh.size}")
+    state = replicate(mesh, state)
+    print(f"mesh-sharded training over {mesh.size} devices "
+          f"({config.N_rand // mesh.size} rays/device)")
+
+  def put(rb):
+    return shard_ray_batch(mesh, rb) if mesh is not None else rb
+
   def sample(np_rng):
     return data.sample_batch(np_rng, config.N_rand)
 
   rng = jax.random.PRNGKey(1)
   global_step = int(state.step)
   t0 = time.time()
-  with PrefetchPipeline(sample, num_workers=config.workers, seed=0) as pipe:
+  with (mesh if mesh is not None else contextlib.nullcontext()), \
+       PrefetchPipeline(sample, num_workers=config.workers,
+                        seed=0) as pipe:
     while global_step < start_step + config.n_iters + 1:
       epoch = global_step // data.num_frames
       data.set_epoch(epoch)
       weights = schedule_weights(config, epoch)
       rb = next(pipe)
       rng, sub = jax.random.split(rng)
-      state, metrics = step_fn(state, rb, weights, sub)
+      state, metrics = step_fn(state, put(rb), weights, sub)
       global_step += 1
 
       if global_step % config.i_print == 0:

@@ -61,3 +61,31 @@ def replicate(mesh: Mesh, tree):
   """Fully replicate a pytree (parameters, optimizer state) on the mesh."""
   sharding = NamedSharding(mesh, P())
   return jax.device_put(tree, sharding)
+
+
+def training_mesh(config) -> Optional[Mesh]:
+  """Mesh for the production training drivers (cli.train / cli.train_ff).
+
+  The reference's ``--distributed`` launched one torch process per GPU over
+  NCCL (train.py:35-45); here a single controller drives every addressable
+  chip through one jit-compiled step with XLA-inserted gradient all-reduce.
+
+  config.distributed=True first calls ``jax.distributed.initialize()`` so
+  multi-host jobs (env-configured coordinator, one process per host) see
+  the global device set; config.mesh_shape picks the data-axis size:
+  "auto" = every addressable device (mesh only when more than one),
+  "N" = the first N devices, "1" = force single-device.
+
+  Returns None when a mesh would be trivial — the drivers then run the
+  plain single-device path.
+  """
+  if getattr(config, "distributed", False):
+    jax.distributed.initialize()
+  devices = jax.devices()
+  spec = str(getattr(config, "mesh_shape", "auto")).strip()
+  n = len(devices) if spec in ("auto", "") else int(spec)
+  if n <= 1:
+    return None
+  if n > len(devices):
+    raise ValueError(f"mesh_shape={n} but only {len(devices)} devices")
+  return make_mesh(devices[:n])

@@ -25,8 +25,12 @@ FOCAL = 40.0
 
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):
+  return build_tiny_scene(tmp_path_factory.mktemp("scenes"))
+
+
+def build_tiny_scene(root):
+  """Write a minimal reference-layout scene under root/tiny/dense."""
   import imageio.v2 as imageio
-  root = tmp_path_factory.mktemp("scenes")
   dense = root / "tiny" / "dense"
   rng = np.random.RandomState(0)
 
