@@ -34,11 +34,38 @@ REFERENCE_RAYS_PER_SEC_4XA100 = 1014.0
 REFERENCE_SEC_PER_FRAME_4XA100 = 28800.0 / 198.0   # ≈ 145.5 s
 
 
+def _device_watchdog(timeout_s: float):
+  """Fail loudly instead of hanging forever when the accelerator tunnel is
+  down: jax.devices() on a dead remote-TPU plugin blocks indefinitely.
+  The timer is cancelled right after backend discovery succeeds."""
+  import threading
+
+  def boom():
+    print(json.dumps({
+        "metric": "ff_eval_rays_per_sec_per_chip", "value": 0.0,
+        "unit": "rays/s", "vs_baseline": 0.0,
+        "error": f"accelerator backend unreachable after {timeout_s:.0f}s "
+                 "(remote tunnel down?)"}), flush=True)
+    os._exit(2)
+
+  t = threading.Timer(timeout_s, boom)
+  t.daemon = True
+  t.start()
+  return t
+
+
 def main():
   # persistent compile cache: cuts re-run wall clock (remote-TPU compiles
   # are minutes); steady-state timings below are unaffected (post-warmup)
   from dynibar_tpu.utils.compile_cache import enable_compile_cache
   enable_compile_cache()
+
+  wd = _device_watchdog(float(os.environ.get("DYNIBAR_BENCH_PROBE_TIMEOUT",
+                                             "900")))
+  n_dev = len(jax.devices())
+  wd.cancel()
+  print(f"# backend: {jax.default_backend()} x{n_dev}", flush=True)
+
   from dynibar_tpu.config import RenderSettings
   from dynibar_tpu.data.ray_batch import synthetic_ff_batch
   from dynibar_tpu.models.dynibar import FFModel
