@@ -71,3 +71,54 @@ def test_train_cli_two_phases(tmp_path, monkeypatch, mesh_shape):
   assert args_files
   cfgjson = json.load(open(args_files[0]))
   assert cfgjson["mesh_shape"] == mesh_shape
+
+
+def test_train_ff_cli_mesh(tmp_path, monkeypatch):
+  """The FF fine-stage driver (cli.train_ff.main) end to end: synthetic
+  Nvidia-layout scene + orbax coarse checkpoint -> mesh-sharded fine
+  training over the virtual devices -> checkpoint with frozen coarse."""
+  from dynibar_tpu.config import DynibarConfig
+  from dynibar_tpu.data.synthetic_scene import write_synthetic_scene
+  from dynibar_tpu.models.dynibar import FFModel
+  from dynibar_tpu.train.trainer import FF_COARSE_KEYS
+  from dynibar_tpu.utils import checkpoints as ckpt_lib
+
+  data_dir = tmp_path / "data"
+  scene = write_synthetic_scene(str(data_dir), num_frames=12, height=32,
+                                width=48)
+
+  over = dict(folder_path=str(data_dir), training_height=32, N_rand=16,
+              N_samples=4, N_importance=4, num_basis=4, mask_static=False)
+  config = DynibarConfig(**over)
+  cfg = config.render_settings("ff_train")
+  donor = FFModel(cfg=cfg, num_frames=12).init_params(jax.random.PRNGKey(7))
+  coarse_dir = tmp_path / "coarse"
+  ckpt_lib.save_checkpoint(str(coarse_dir), 0,
+                           {k: donor[k] for k in FF_COARSE_KEYS})
+
+  rootdir = tmp_path / "run"
+  argv = ["train_ff", "--folder_path", str(data_dir),
+          "--train_scenes", scene,
+          "--rootdir", str(rootdir),
+          "--training_height", "32",
+          "--N_rand", "16", "--N_samples", "4", "--N_importance", "4",
+          "--num_basis", "4", "--mask_static", "false",
+          "--n_iters", "2", "--i_print", "1", "--i_weights", "2",
+          "--workers", "1", "--mesh_shape", "8",
+          "--coarse_dir", str(coarse_dir),
+          "--expname", "ff_smoke"]
+  monkeypatch.setattr(sys, "argv", argv)
+  from dynibar_tpu.cli.train_ff import main
+  main()
+
+  latest = ckpt_lib.latest_checkpoint(
+      os.path.join(str(rootdir), "checkpoints", "fine", "ff_smoke"))
+  assert latest is not None
+  payload = ckpt_lib.load_checkpoint(latest)
+  assert int(payload["step"]) >= 2
+  # the frozen coarse subtree is exactly the donor's
+  for key in FF_COARSE_KEYS:
+    got = jax.tree_util.tree_leaves(payload["params"][key])
+    want = jax.tree_util.tree_leaves(donor[key])
+    for g, w in zip(got, want):
+      np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
