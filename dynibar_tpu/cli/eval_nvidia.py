@@ -39,6 +39,10 @@ def main():
                      "or a --config with `eval_scenes = ...`")
 
   from dynibar_tpu.data.nvidia import NvidiaSceneData
+  from dynibar_tpu.parallel.mesh import training_mesh
+  mesh = training_mesh(config)   # multi-chip eval: chunks shard over rays
+  if mesh is not None:
+    print(f"mesh-sharded eval over {mesh.size} devices")
   all_results = {}
   for scene in config.eval_scenes:
     data = NvidiaSceneData(config, scene, height=config.training_height)
@@ -65,7 +69,7 @@ def main():
     result = evaluate_scene(
         config, model, params, scene,
         lpips_weights_dir=known.lpips_weights_dir or None,
-        frame_range=frame_range)
+        frame_range=frame_range, mesh=mesh)
     all_results[scene] = result
     print(f"[{scene}] {json.dumps(result)}")
 

@@ -97,6 +97,11 @@ def main():
   os.makedirs(out_dir, exist_ok=True)
   rng = np.random.RandomState(0)
 
+  from dynibar_tpu.parallel.mesh import training_mesh
+  mesh = training_mesh(config)
+  if mesh is not None:
+    print(f"mesh-sharded rendering over {mesh.size} devices")
+
   render_poses = data.render_poses
   num_out = len(render_poses)
   video_frames = []
@@ -117,7 +122,7 @@ def main():
     dy, _ = model.apply_feature(params, rb["src_rgbs"])
     st, _ = model.apply_feature_st(params, rb["static_src_rgbs"])
     ret = render_image_mono(model, params, rb, (dy, None, st), cfg,
-                            config.chunk_size, h, w)
+                            config.chunk_size, h, w, mesh=mesh)
     rgb = np.asarray(ret["outputs_coarse_ref"]["rgb"])
     # 3% border crop (render_monocular_bt.py:349-356)
     ch, cw = int(h * 0.03), int(w * 0.03)

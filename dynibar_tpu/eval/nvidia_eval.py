@@ -62,6 +62,7 @@ def evaluate_scene(
     lpips_weights_dir: Optional[str] = None,
     frame_range: Optional[range] = None,
     log_fn: Callable[[str], None] = print,
+    mesh=None,
 ) -> Dict[str, Dict[str, float]]:
   """Run the full benchmark protocol on one scene; returns metric tables."""
   import jax.numpy as jnp
@@ -102,7 +103,7 @@ def evaluate_scene(
       h = int(batch["camera"][0])
       w = int(batch["camera"][1])
       ret = render_image_ff(model, params, rb, coarse, fine, cfg,
-                            config.chunk_size, h, w)
+                            config.chunk_size, h, w, mesh=mesh)
       pred = np.asarray(ret["outputs_fine_ref"]["rgb"])
 
       valid = np.float32(pred.sum(-1, keepdims=True) > 1e-3)

@@ -72,6 +72,31 @@ def test_train_cli_two_phases(tmp_path, monkeypatch, mesh_shape):
   cfgjson = json.load(open(args_files[0]))
   assert cfgjson["mesh_shape"] == mesh_shape
 
+  if mesh_shape != "8":
+    return
+  # ---- chain: cli.render_monocular consumes the checkpoint (stab path,
+  # mesh-sharded full-image rendering, png + mp4 outputs) ----
+  render_argv = argv.copy()
+  render_argv[0] = "render_monocular"
+  render_argv += ["--render_idx", "-1", "--chunk_size", "256",
+                  "--video_out", "auto"]
+  monkeypatch.setattr(sys, "argv", render_argv)
+  from dynibar_tpu.cli.render_monocular import main as render_main
+  render_main()
+  render_dirs = []
+  for base, dirs, files in os.walk(rootdir):
+    if os.path.basename(base) == "render_stab":
+      render_dirs.append((base, files))
+  assert render_dirs, "render_stab output folder missing"
+  base, files = render_dirs[0]
+  pngs = [f for f in files if f.endswith(".png")]
+  assert len(pngs) >= 12                      # one frame per video pose
+  assert "video.mp4" in files
+  import imageio.v2 as imageio
+  frame = imageio.imread(os.path.join(base, sorted(pngs)[0]))
+  assert frame.ndim == 3 and frame.shape[-1] == 3
+  assert np.isfinite(frame).all()
+
 
 def test_train_ff_cli_mesh(tmp_path, monkeypatch):
   """The FF fine-stage driver (cli.train_ff.main) end to end: synthetic
