@@ -62,6 +62,11 @@ class RenderSession:
       params = payload["params"]
     self.params = params
 
+    # multi-chip serving: shard each frame's ray chunks over the mesh
+    # (config.mesh_shape, same semantics as the training drivers)
+    from dynibar_tpu.parallel.mesh import training_mesh
+    self.mesh = training_mesh(config)
+
     probe = self.data._load_rgb(0)
     self.height, self.width = int(probe.shape[0]), int(probe.shape[1])
 
@@ -133,7 +138,8 @@ class RenderSession:
                               state["featmaps"], self.cfg,
                               self.config.chunk_size,
                               (h + stride - 1) // stride,
-                              (w + stride - 1) // stride)
+                              (w + stride - 1) // stride,
+                              mesh=self.mesh)
       ref = ret["outputs_coarse_ref"]
       out = {
           "rgb": np.asarray(ref["rgb"], np.float32),
