@@ -32,6 +32,8 @@ def llff_from_opencv(c2w: np.ndarray) -> np.ndarray:
 
 
 def main():
+  from dynibar_tpu.utils.platform import pin_platform_from_env
+  pin_platform_from_env()
   import cv2
   import imageio.v2 as imageio
   ap = argparse.ArgumentParser()
@@ -59,14 +61,34 @@ def main():
   poses_rows = []
   for i, (npz_path, img_path) in enumerate(zip(npz_files, img_files)):
     data = np.load(npz_path)
-    k = data["K"] if "K" in data else data["intrinsics"]
-    c2w = data["cam_c2w"] if "cam_c2w" in data else data["pose_c2w"]
-    depth = np.squeeze(data["depth"])
+    k = np.asarray(data["K"] if "K" in data else data["intrinsics"],
+                   np.float64)
+    c2w = np.asarray(data["cam_c2w"] if "cam_c2w" in data
+                     else data["pose_c2w"])
+    while c2w.ndim > 2:
+      c2w = c2w[0]
+    depth = np.squeeze(np.asarray(data["depth"]))
 
-    # fx must equal fy for the shared-focal LLFF format
-    fx = float(k[0, 0]) if k.ndim == 2 else float(k[0])
-    fy = float(k[1, 1]) if k.ndim == 2 else float(k[1])
-    assert abs(fx - fy) / max(fx, fy) < 1e-2, "anisotropic focal unsupported"
+    # intrinsics: accept [fx, fy, cx, cy] vectors or (possibly batched)
+    # 3x3 matrices; the dynamic-video-depth optimizer stores K TRANSPOSED
+    # (the reference un-transposes it, save_monocular_cameras.py:73) —
+    # detect that by where the principal point landed
+    if k.ndim == 1:
+      k = np.array([[k[0], 0, k[2]], [0, k[1], k[3]], [0, 0, 1]])
+    while k.ndim > 2:
+      k = k[0]
+    if np.any(k[2, :2] != 0) and not np.any(k[:2, 2] != 0):
+      k = k.T
+    # scale to the output resolution (row 0 by width, row 1 by height)
+    src_h, src_w = depth.shape[:2]
+    k = k.copy()
+    k[0, :] *= width / src_w
+    k[1, :] *= height / src_h
+    fx, fy = float(k[0, 0]), float(k[1, 1])
+    # the LLFF format carries ONE focal; the reference averages the two
+    # (fx ~= fy asserted, save_monocular_cameras.py:81-83,123)
+    assert abs(fx - fy) / (fx + fy) < 0.005, "anisotropic focal unsupported"
+    focal = (fx + fy) / 2.0
 
     img = imageio.imread(img_path)
     img_r = cv2.resize(img, (width, height), interpolation=cv2.INTER_AREA)
@@ -79,9 +101,6 @@ def main():
     np.save(os.path.join(disp_dir, f"{name}.npy"),
             disp_r.astype(np.float32))
 
-    scale = height / depth.shape[0] if depth.shape[0] != height else 1.0
-    focal = fx * width / depth.shape[1] if depth.shape[1] != width else fx
-    del scale
     pose_llff = llff_from_opencv(np.asarray(c2w))
     hwf = np.array([[height], [width], [focal]])
     row = np.concatenate([pose_llff, hwf], axis=1).reshape(-1)

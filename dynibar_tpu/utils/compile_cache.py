@@ -28,6 +28,9 @@ def enable_compile_cache() -> str | None:
   Returns the cache directory, or None when disabled (or when a test
   harness already configured one — the tests pin their own directory).
   """
+  from dynibar_tpu.utils.platform import pin_platform_from_env
+  pin_platform_from_env()
+
   global _ENABLED
   raw = os.environ.get("DYNIBAR_COMPILE_CACHE", "")
   if raw.lower() in ("0", "off", "false", "none"):
