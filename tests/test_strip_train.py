@@ -100,6 +100,7 @@ def test_diff_sampler_uncovered_cotangents_zeroed():
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_strip_train_render_gradients_match_exact():
   """render_rays_mono with strip_sampling+strip_train: loss and parameter
   gradients match the exact-gather training path (the tiny featmap fits any
