@@ -106,6 +106,7 @@ def main():
   from dynibar_tpu.parallel.mesh import (replicate, shard_ray_batch,
                                          training_mesh)
   mesh = training_mesh(config)
+  is_main = jax.process_index() == 0   # rank-0-only IO on multi-host
   if mesh is not None:
     if config.N_rand % mesh.size:
       raise SystemExit(f"error: N_rand={config.N_rand} must be divisible "
@@ -166,13 +167,13 @@ def main():
           print(f"[{config.expname}] epoch {epoch} step {global_step} "
                 + " ".join(f"{k}={v:.5f}" for k, v in vals.items()))
 
-        if global_step % config.i_weights == 0:
+        if global_step % config.i_weights == 0 and is_main:
           ckpt_lib.save_checkpoint(out_folder, global_step,
                                    jax.device_get(state.params),
                                    jax.device_get(state.opt_state))
           print(f"saved checkpoint at {global_step}")
 
-        if global_step % config.i_img == 0:
+        if global_step % config.i_img == 0 and is_main:
           # full-frame render panels (reference train.py:548-571)
           from dynibar_tpu.train.view_logging import log_train_view
           rb_host = {k: np.asarray(v) for k, v in rb.items()}
@@ -190,16 +191,17 @@ def main():
                          gt_flows=gt_flows)
 
       # one-shot pre-virtual-view snapshot (reference train.py:503-506)
-      if epoch + 1 == config.init_decay_epoch * 5:
+      if epoch + 1 == config.init_decay_epoch * 5 and is_main:
         ckpt_lib.save_checkpoint(out_folder, global_step,
                                  jax.device_get(state.params),
                                  jax.device_get(state.opt_state),
                                  name="model_no-vv")
       epoch += 1
 
-  ckpt_lib.save_checkpoint(out_folder, global_step,
-                           jax.device_get(state.params),
-                           jax.device_get(state.opt_state))
+  if is_main:
+    ckpt_lib.save_checkpoint(out_folder, global_step,
+                             jax.device_get(state.params),
+                             jax.device_get(state.opt_state))
 
 
 if __name__ == "__main__":

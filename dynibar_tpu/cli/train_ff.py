@@ -100,6 +100,7 @@ def main():
   from dynibar_tpu.parallel.mesh import (replicate, shard_ray_batch,
                                          training_mesh)
   mesh = training_mesh(config)
+  is_main = jax.process_index() == 0   # rank-0-only IO on multi-host
   if mesh is not None:
     if config.N_rand % mesh.size:
       raise SystemExit(f"error: N_rand={config.N_rand} must be divisible "
@@ -137,15 +138,16 @@ def main():
         print(f"[{config.expname}] step {global_step} "
               + " ".join(f"{k}={v:.5f}" for k, v in vals.items()))
 
-      if global_step % config.i_weights == 0:
+      if global_step % config.i_weights == 0 and is_main:
         ckpt_lib.save_checkpoint(out_folder, global_step,
                                  jax.device_get(state.params),
                                  jax.device_get(state.opt_state))
         print(f"saved checkpoint at {global_step}")
 
-  ckpt_lib.save_checkpoint(out_folder, global_step,
-                           jax.device_get(state.params),
-                           jax.device_get(state.opt_state))
+  if is_main:
+    ckpt_lib.save_checkpoint(out_folder, global_step,
+                             jax.device_get(state.params),
+                             jax.device_get(state.opt_state))
 
 
 if __name__ == "__main__":
