@@ -165,3 +165,43 @@ def test_auto_exact_fallback_matches_exact_render():
   np.testing.assert_allclose(
       np.asarray(exact["outputs_fine_ref"]["rgb"]),
       np.asarray(fast["outputs_fine_ref"]["rgb"]), rtol=0, atol=1e-4)
+
+
+def test_full_image_strip_mesh_matches_exact():
+  """The v5e-8 eval combination: strip sampling + auto-exact fallback +
+  mesh-sharded chunks must still equal the exact single-device render."""
+  from dynibar_tpu.parallel.mesh import make_mesh
+  from dynibar_tpu.render.render_image import (full_image_ray_batch,
+                                               render_image_ff)
+
+  kwargs = dict(n_samples=8, n_importance=8, num_views_dy=7,
+                num_views_anchor=0, num_views_static=4, num_vv=0,
+                num_basis=4, inv_uniform=True)
+  cfg_e = RenderSettings(**kwargs)
+  cfg_s = RenderSettings(strip_sampling=True, strip_rows=16, strip_cols=16,
+                         **kwargs)
+  h, w = 24, 32
+  model = FFModel(cfg=cfg_e, num_frames=24)
+  params = model.init_params(jax.random.PRNGKey(0))
+  rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
+      cfg_e, n_rays=8, h=h, w=w, num_frames=24).items()}
+  eval_rb = full_image_ray_batch(rb, rb["camera"])
+  coarse = (model.apply_feature(params, "feature_net", rb["src_rgbs"])[0],
+            None,
+            model.apply_feature(params, "feature_net",
+                                rb["static_src_rgbs"])[1])
+  fine = (model.apply_feature(params, "feature_net_fine",
+                              rb["src_rgbs"])[0],
+          None,
+          model.apply_feature(params, "feature_net_fine",
+                              rb["static_src_rgbs"])[1])
+
+  exact = render_image_ff(model, params, eval_rb, coarse, fine, cfg_e,
+                          chunk_size=64, height=h, width=w)
+  mesh = make_mesh(jax.devices()[:8])
+  model_s = FFModel(cfg=cfg_s, num_frames=24)
+  strip = render_image_ff(model_s, params, eval_rb, coarse, fine, cfg_s,
+                          chunk_size=64, height=h, width=w, mesh=mesh)
+  np.testing.assert_allclose(
+      np.asarray(exact["outputs_fine_ref"]["rgb"]),
+      np.asarray(strip["outputs_fine_ref"]["rgb"]), rtol=0, atol=3e-5)
