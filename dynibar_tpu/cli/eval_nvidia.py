@@ -83,7 +83,7 @@ def main():
           for m in ("psnr", "ssim", "lpips")}
     all_results["mean"] = agg
   print(json.dumps(all_results, indent=2))
-  if known.results_json:
+  if known.results_json and jax.process_index() == 0:
     with open(known.results_json, "w") as fh:
       json.dump(all_results, fh, indent=2)
     print(f"wrote {known.results_json}")

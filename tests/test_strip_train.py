@@ -138,3 +138,32 @@ def test_strip_train_render_gradients_match_exact():
   scale = np.abs(np.asarray(flat_e)).max() + 1e-8
   np.testing.assert_allclose(np.asarray(flat_s) / scale,
                              np.asarray(flat_e) / scale, atol=2e-5)
+
+
+def test_full_train_step_production_combo_strip_train():
+  """Trace/compile check of the PRODUCTION training combination with
+  strip_train on: bf16 + fused Pallas aggregators (split backward) +
+  remat + the Pallas-forward/gather-backward sampler, one full step
+  through make_train_step (interpret-mode kernels on CPU, tiny shapes)."""
+  from dynibar_tpu.config import DynibarConfig
+  from dynibar_tpu.data.ray_batch import synthetic_mono_batch
+  from dynibar_tpu.train import losses as losses_lib
+  from dynibar_tpu.train import trainer as trainer_lib
+
+  config = DynibarConfig(
+      N_rand=8, N_samples=8, num_source_views=6, num_vv=3, num_basis=4,
+      compute_dtype="bfloat16", use_remat=True, fused_aggregators=True,
+      strip_sampling=True, strip_train=True, coherent_ray_segment=8)
+  cfg = config.render_settings("mono")
+  model = MonoModel(cfg=cfg, num_frames=32, remat=True)
+  state, tx = trainer_lib.create_train_state(model, config,
+                                             jax.random.PRNGKey(0))
+  step = trainer_lib.make_train_step(model, tx, cfg, donate=False)
+  rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
+      cfg, n_rays=8, h=32, w=48, num_frames=32, scanline=True).items()}
+  weights = losses_lib.schedule_weights(config, epoch=2)
+  state2, metrics = step(state, rb, weights, jax.random.PRNGKey(1))
+  assert np.isfinite(float(metrics["loss"]))
+  leaf0 = jax.tree_util.tree_leaves(state.params)[0]
+  leaf1 = jax.tree_util.tree_leaves(state2.params)[0]
+  assert np.abs(np.asarray(leaf1) - np.asarray(leaf0)).max() > 0
