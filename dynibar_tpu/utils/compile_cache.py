@@ -41,8 +41,18 @@ def enable_compile_cache() -> str | None:
   if _ENABLED or jax.config.jax_compilation_cache_dir:
     return jax.config.jax_compilation_cache_dir
 
+  # key the default dir by the host CPU's feature set: XLA:CPU AOT
+  # executables are not portable across machine types (loading one built
+  # with e.g. avx512/amx on a host without them aborts the process), and
+  # home directories / tmp can outlive a machine swap
+  try:
+    flags = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
+  except (OSError, IndexError):
+    flags = ""
+  import hashlib
+  cpu_key = hashlib.md5(flags.encode()).hexdigest()[:10]
   path = raw or os.path.join(
-      os.path.expanduser("~"), ".cache", "dynibar_tpu", "jax")
+      os.path.expanduser("~"), ".cache", "dynibar_tpu", f"jax_{cpu_key}")
   try:
     os.makedirs(path, exist_ok=True)
   except OSError:
