@@ -66,6 +66,16 @@ def main():
   if not config.train_scenes:
     raise SystemExit("error: no training scene — pass --config <file> with "
                      "`train_scenes = <scene>` or --train_scenes <scene>")
+
+  # ---- device mesh FIRST: jax.distributed.initialize() (inside
+  # training_mesh) must run before anything touches the backend, and the
+  # dataset factory folds jax.process_index() into its sample streams ----
+  import contextlib
+  from dynibar_tpu.parallel.mesh import (replicate, shard_ray_batch,
+                                         training_mesh)
+  mesh = training_mesh(config)
+  is_main = jax.process_index() == 0   # rank-0-only IO on multi-host
+
   from dynibar_tpu.data.factory import create_training_dataset
   data = create_training_dataset(config)
   config.num_frames = data.num_frames
@@ -74,9 +84,10 @@ def main():
 
   out_folder = config.out_folder()
   os.makedirs(out_folder, exist_ok=True)
-  with open(os.path.join(out_folder, "args.json"), "w") as fh:
-    json.dump({k: v for k, v in vars(config).items()}, fh, indent=2,
-              default=str)
+  if is_main:
+    with open(os.path.join(out_folder, "args.json"), "w") as fh:
+      json.dump({k: v for k, v in vars(config).items()}, fh, indent=2,
+                default=str)
 
   model = MonoModel(cfg=cfg, num_frames=data.num_frames,
                     remat=config.use_remat)
@@ -96,17 +107,12 @@ def main():
     print(f"resumed at step {start_step}")
 
   logger = MetricsLogger(os.path.join(config.rootdir, "logs",
-                                      config.experiment_name()))
+                                      config.experiment_name()),
+                         enabled=is_main)
   rng = jax.random.PRNGKey(1)
   global_step = int(state.step)
   start_epoch = global_step // data.num_frames
 
-  # ---- device mesh (multi-chip / multi-host data parallelism) ----
-  import contextlib
-  from dynibar_tpu.parallel.mesh import (replicate, shard_ray_batch,
-                                         training_mesh)
-  mesh = training_mesh(config)
-  is_main = jax.process_index() == 0   # rank-0-only IO on multi-host
   if mesh is not None:
     if config.N_rand % mesh.size:
       raise SystemExit(f"error: N_rand={config.N_rand} must be divisible "

@@ -60,6 +60,15 @@ def main():
   if not scenes:
     raise SystemExit("error: no scene — pass --config <file> with "
                      "`train_scenes = <scene>`")
+
+  # mesh FIRST: jax.distributed.initialize() (inside training_mesh) must
+  # precede any backend use (see cli/train.py)
+  import contextlib
+  from dynibar_tpu.parallel.mesh import (replicate, shard_ray_batch,
+                                         training_mesh)
+  mesh = training_mesh(config)
+  is_main = jax.process_index() == 0   # rank-0-only IO on multi-host
+
   cfg = config.render_settings("ff_train")
   data = NvidiaSceneData(config, scenes[0], cfg=cfg,
                          height=config.training_height)
@@ -70,9 +79,10 @@ def main():
   out_folder = os.path.join(config.rootdir, "checkpoints", "fine",
                             config.expname)
   os.makedirs(out_folder, exist_ok=True)
-  with open(os.path.join(out_folder, "args.json"), "w") as fh:
-    json.dump({k: v for k, v in vars(config).items()}, fh, indent=2,
-              default=str)
+  if is_main:
+    with open(os.path.join(out_folder, "args.json"), "w") as fh:
+      json.dump({k: v for k, v in vars(config).items()}, fh, indent=2,
+                default=str)
 
   model = FFModel(cfg=cfg, num_frames=data.num_frames)
   coarse = load_coarse_params(config.coarse_dir)
@@ -92,15 +102,11 @@ def main():
     print(f"resumed at step {start_step}")
 
   logger = MetricsLogger(os.path.join(config.rootdir, "logs",
-                                      "fine_" + config.expname))
+                                      "fine_" + config.expname),
+                         enabled=is_main)
   step_fn = make_ff_train_step(model, tx, cfg,
                                donate=config.donate_buffers)
 
-  import contextlib
-  from dynibar_tpu.parallel.mesh import (replicate, shard_ray_batch,
-                                         training_mesh)
-  mesh = training_mesh(config)
-  is_main = jax.process_index() == 0   # rank-0-only IO on multi-host
   if mesh is not None:
     if config.N_rand % mesh.size:
       raise SystemExit(f"error: N_rand={config.N_rand} must be divisible "
@@ -118,9 +124,11 @@ def main():
   rng = jax.random.PRNGKey(1)
   global_step = int(state.step)
   t0 = time.time()
+  # fold the process index into the stream seed so multi-host ranks draw
+  # disjoint batches (cli.train gets this from the dataset factory)
   with (mesh if mesh is not None else contextlib.nullcontext()), \
        PrefetchPipeline(sample, num_workers=config.workers,
-                        seed=0) as pipe:
+                        seed=jax.process_index()) as pipe:
     while global_step < start_step + config.n_iters + 1:
       epoch = global_step // data.num_frames
       data.set_epoch(epoch)

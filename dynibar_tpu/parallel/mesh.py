@@ -52,15 +52,34 @@ def ray_batch_shardings(mesh: Mesh, rb: Dict[str, Any],
 
 def shard_ray_batch(mesh: Mesh, rb: Dict[str, Any],
                     axis_name: str = "data") -> Dict[str, jax.Array]:
-  """Place a host ray batch onto the mesh with ray-axis sharding."""
+  """Place a host ray batch onto the mesh with ray-axis sharding.
+
+  Single-process: a plain device_put per key.  Multi-controller (one
+  process per host, config.distributed): every process holds a DIFFERENT
+  local batch (disjoint sample streams), so global arrays are assembled
+  from per-process local data — the global ray axis is
+  process_count × local N_rand; replicated keys (source stacks, cameras,
+  scalars) use each process's local value for its own devices.
+  """
   shardings = ray_batch_shardings(mesh, rb, axis_name)
-  return {k: jax.device_put(v, shardings[k]) for k, v in rb.items()}
+  if jax.process_count() == 1:
+    return {k: jax.device_put(v, shardings[k]) for k, v in rb.items()}
+  return {k: jax.make_array_from_process_local_data(
+      shardings[k], np.asarray(v)) for k, v in rb.items()}
 
 
 def replicate(mesh: Mesh, tree):
-  """Fully replicate a pytree (parameters, optimizer state) on the mesh."""
+  """Fully replicate a pytree (parameters, optimizer state) on the mesh.
+
+  Multi-controller: assembled from per-process local values (which are
+  identical across ranks for params/opt state — same seed, same updates).
+  """
   sharding = NamedSharding(mesh, P())
-  return jax.device_put(tree, sharding)
+  if jax.process_count() == 1:
+    return jax.device_put(tree, sharding)
+  return jax.tree_util.tree_map(
+      lambda x: jax.make_array_from_process_local_data(
+          sharding, np.asarray(x)), tree)
 
 
 def training_mesh(config) -> Optional[Mesh]:

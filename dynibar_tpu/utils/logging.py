@@ -16,10 +16,18 @@ import numpy as np
 
 
 class MetricsLogger:
-  def __init__(self, log_dir: str, use_tensorboard: bool = True):
-    os.makedirs(log_dir, exist_ok=True)
+  """enabled=False makes every method a no-op (and touches no files) — the
+  rank-0-only IO switch for multi-host training (reference train.py:106)."""
+
+  def __init__(self, log_dir: str, use_tensorboard: bool = True,
+               enabled: bool = True):
+    self.enabled = enabled
     self._log_dir = log_dir
     self._tb = None
+    self._jsonl = None
+    if not enabled:
+      return
+    os.makedirs(log_dir, exist_ok=True)
     if use_tensorboard:
       try:
         from torch.utils.tensorboard import SummaryWriter
@@ -29,6 +37,8 @@ class MetricsLogger:
     self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
   def scalars(self, step: int, values: Dict[str, float], prefix: str = ""):
+    if not self.enabled:
+      return
     rec = {"step": step, "time": time.time()}
     for k, v in values.items():
       rec[prefix + k] = float(v)
@@ -42,6 +52,8 @@ class MetricsLogger:
 
     TensorBoard when available; PNG files under <log_dir>/images/
     otherwise, so the training panels are never silently dropped."""
+    if not self.enabled:
+      return
     if self._tb is not None:
       self._tb.add_image(tag, np.clip(img_hwc, 0, 1),
                          step, dataformats="HWC")
@@ -57,4 +69,5 @@ class MetricsLogger:
   def close(self):
     if self._tb is not None:
       self._tb.close()
-    self._jsonl.close()
+    if self._jsonl is not None:
+      self._jsonl.close()

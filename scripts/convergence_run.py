@@ -1,0 +1,288 @@
+"""Convergence experiment: overfit the mono model on an analytic,
+multi-view-consistent dynamic 3D scene and measure held-out novel-view PSNR
+over training (VERDICT round-2 ask #1: nothing before this ever drove a loss
+down for more than a dozen steps).
+
+The scene (data/synthetic_scene.ConsistentScene) has exact GT for any pose
+and time, so "novel view" means a camera never seen in training, with exact
+pixel ground truth.  The training configuration matches the shipped
+production defaults (bf16 + fused Pallas aggregators + remat, N_rand=3072,
+64 samples — the same combination bench.py measures).
+
+  python scripts/convergence_run.py                 # ~3k steps on the TPU
+  python scripts/convergence_run.py --strip         # strip_train variant
+  python scripts/convergence_run.py --quick         # tiny CPU smoke (CI)
+
+Writes <outdir>/convergence_<tag>.json + first/last renders as PNG, and
+appends a summary row to CONVERGENCE.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def parse_args():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--steps", type=int, default=3000)
+  ap.add_argument("--eval_every", type=int, default=250)
+  ap.add_argument("--frames", type=int, default=24)
+  ap.add_argument("--height", type=int, default=96)
+  ap.add_argument("--width", type=int, default=144)
+  ap.add_argument("--n_rand", type=int, default=3072)
+  ap.add_argument("--init_decay_epoch", type=int, default=40)
+  ap.add_argument("--outdir", type=str, default="/tmp/dynibar_convergence")
+  ap.add_argument("--tag", type=str, default="default")
+  ap.add_argument("--strip", action="store_true",
+                  help="strip_train mode (scanline-coherent ray segments)")
+  ap.add_argument("--quick", action="store_true",
+                  help="tiny CPU configuration for CI smoke")
+  ap.add_argument("--gate_db", type=float, default=8.0,
+                  help="required novel-view PSNR rise over init (dB)")
+  return ap.parse_args()
+
+
+def build(args):
+  """Scene + config + dataset (production flags unless --quick)."""
+  from dynibar_tpu.config import DynibarConfig
+  from dynibar_tpu.data.monocular import MonocularSceneData
+  from dynibar_tpu.data.synthetic_scene import ConsistentScene
+
+  if args.quick:
+    args.frames, args.height, args.width = 10, 40, 60
+    args.steps = min(args.steps, 120)
+    args.eval_every = min(args.eval_every, 60)
+    args.n_rand = 128
+    args.init_decay_epoch = 2
+
+  scene = ConsistentScene(num_frames=args.frames, height=args.height,
+                          width=args.width)
+  root = os.path.join(
+      args.outdir,
+      f"scene_{args.frames}x{args.height}x{args.width}")
+  name = "consistent"
+  if not os.path.exists(os.path.join(root, name, "dense",
+                                     "poses_bounds_cvd.npy")):
+    os.makedirs(root, exist_ok=True)
+    scene.write(root, name)
+    print(f"wrote scene to {root}")
+
+  if args.quick:
+    config = DynibarConfig(
+        folder_path=root, train_scenes=[name], training_height=args.height,
+        N_rand=args.n_rand, N_samples=16, N_importance=0,
+        num_source_views=4, num_vv=2, num_basis=4, max_range=8,
+        init_decay_epoch=args.init_decay_epoch, chunk_size=1024,
+        compute_dtype="float32", use_remat=False, fused_aggregators=False,
+        workers=2, i_print=10)
+  else:
+    config = DynibarConfig(
+        folder_path=root, train_scenes=[name], training_height=args.height,
+        N_rand=args.n_rand, N_samples=64, N_importance=0,
+        num_source_views=7, num_vv=3, num_basis=6, max_range=12,
+        init_decay_epoch=args.init_decay_epoch, chunk_size=4608,
+        compute_dtype="bfloat16", use_remat=True, fused_aggregators=True,
+        workers=2, i_print=50,
+        strip_sampling=args.strip, strip_train=args.strip,
+        coherent_ray_segment=16 if args.strip else 0)
+
+  data = MonocularSceneData(config, name)
+  config.num_frames = data.num_frames
+  config.lrate_decay_steps = config.num_frames * config.init_decay_epoch
+  return scene, config, data
+
+
+def final_camera(scene, data, c2w_disk: np.ndarray) -> np.ndarray:
+  """Map a disk-frame OpenCV camera into the loader's (scaled+recentered)
+  world via the constant rigid transform M = final @ inv(scaled_disk)."""
+  cs = scene.c2w(0).astype(np.float64)
+  cs[:3, 3] *= data.scale
+  m = data.c2w[0].astype(np.float64) @ np.linalg.inv(cs)
+  cq = c2w_disk.astype(np.float64).copy()
+  cq[:3, 3] *= data.scale
+  return (m @ cq).astype(np.float32)
+
+
+def make_eval_views(scene):
+  mid = scene.num_frames // 2
+  views = {"train_view": (scene.c2w(mid), float(mid))}
+  for k, (pose, tau) in enumerate(scene.held_out_cameras()):
+    views[f"novel_{k}"] = (pose, tau)
+  return views
+
+
+def eval_views(model, params, scene, data, cfg, config, views, outdir=None,
+               step=None):
+  import jax.numpy as jnp
+  from dynibar_tpu.cli.render_monocular import render_batch_template
+  from dynibar_tpu.core.cameras import make_camera
+  from dynibar_tpu.eval.metrics import masked_psnr
+  from dynibar_tpu.render.render_image import (full_image_ray_batch,
+                                               render_image_mono)
+  h, w = scene.h, scene.w
+  rec = {}
+  for vname, (c2w_disk, tau) in views.items():
+    gt, _, dyn = scene.render(c2w_disk, tau)
+    idx = int(round(tau))
+    template = render_batch_template(data, idx, config.num_source_views,
+                                     config.num_vv, np.random.RandomState(0))
+    cam = make_camera(h, w, data.intrinsics[idx],
+                      final_camera(scene, data, c2w_disk))
+    rb = {k: jnp.asarray(v) for k, v in template.items()}
+    rb = full_image_ray_batch(rb, jnp.asarray(cam))
+    dy, _ = model.apply_feature(params, rb["src_rgbs"])
+    st, _ = model.apply_feature_st(params, rb["static_src_rgbs"])
+    ret = render_image_mono(model, params, rb, (dy, None, st), cfg,
+                            config.chunk_size, h, w)
+    rgb = np.asarray(ret["outputs_coarse_ref"]["rgb"], np.float32)
+    rec[f"psnr_{vname}"] = masked_psnr(rgb, gt, np.ones_like(gt))
+    if dyn.any():
+      dyn3 = np.repeat(dyn[..., None].astype(np.float32), 3, axis=-1)
+      rec[f"psnr_{vname}_dyn"] = masked_psnr(rgb, gt, dyn3)
+    if outdir is not None:
+      import imageio.v2 as imageio
+      imageio.imwrite(
+          os.path.join(outdir, f"{vname}_step{step:06d}.png"),
+          (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+      gt_path = os.path.join(outdir, f"{vname}_gt.png")
+      if not os.path.exists(gt_path):
+        imageio.imwrite(gt_path, (np.clip(gt, 0, 1) * 255).astype(np.uint8))
+  return rec
+
+
+def main():
+  args = parse_args()
+  os.makedirs(args.outdir, exist_ok=True)
+  if args.quick:
+    # force CPU even when the environment pins a remote accelerator
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+      os.environ["XLA_FLAGS"] = (
+          flags + " --xla_force_host_platform_device_count=8").strip()
+  from dynibar_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache()
+  import jax
+  import jax.numpy as jnp
+  from dynibar_tpu.data.pipeline import PrefetchPipeline
+  from dynibar_tpu.models.dynibar import MonoModel
+  from dynibar_tpu.train.losses import schedule_weights
+  from dynibar_tpu.train.trainer import create_train_state, make_train_step
+
+  scene, config, data = build(args)
+  cfg = config.render_settings("mono")
+  model = MonoModel(cfg=cfg, num_frames=data.num_frames,
+                    remat=config.use_remat)
+  state, tx = create_train_state(model, config, jax.random.PRNGKey(0))
+  bootstrap_step = make_train_step(model, tx, cfg, bootstrap=True,
+                                   donate=False)
+  full_step = make_train_step(model, tx, cfg, bootstrap=False, donate=False)
+  views = make_eval_views(scene)
+  imgdir = os.path.join(args.outdir, f"renders_{args.tag}")
+  os.makedirs(imgdir, exist_ok=True)
+
+  print(f"[{args.tag}] backend={jax.default_backend()} "
+        f"frames={data.num_frames} {scene.h}x{scene.w} "
+        f"N_rand={config.N_rand} steps={args.steps}")
+
+  curve = []
+  rec0 = eval_views(model, params=state.params, scene=scene, data=data,
+                    cfg=cfg, config=config, views=views, outdir=imgdir,
+                    step=0)
+  rec0["step"] = 0
+  curve.append(rec0)
+  print("init:", {k: round(v, 2) for k, v in rec0.items()})
+
+  rng = jax.random.PRNGKey(1)
+  n_bootstrap_epochs = config.init_decay_epoch // 2
+  losses, step_times = [], []
+
+  def sample(np_rng):
+    return data.sample_batch(np_rng, config.N_rand, config.sample_mode)
+
+  with PrefetchPipeline(sample, num_workers=config.workers, seed=0) as pipe:
+    epoch_prev, weights = -1, None
+    t_step0 = None
+    for step in range(1, args.steps + 1):
+      epoch = step // data.num_frames
+      if epoch != epoch_prev:
+        data.set_epoch(epoch)
+        weights = schedule_weights(config, epoch)
+        epoch_prev = epoch
+      rb = next(pipe)
+      rng, sub = jax.random.split(rng)
+      t0 = time.perf_counter()
+      if epoch < n_bootstrap_epochs:
+        state, metrics = bootstrap_step(state, rb, None, sub)
+      else:
+        state, metrics = full_step(state, rb, weights, sub)
+      loss = float(metrics["loss"])   # host sync => honest step timing
+      if t_step0 is not None:
+        step_times.append(time.perf_counter() - t0)
+      t_step0 = t0
+      losses.append(loss)
+      if step % config.i_print == 0:
+        print(f"step {step} epoch {epoch} loss={loss:.4f} "
+              f"psnr_batch={float(metrics['psnr']):.2f} "
+              f"({np.mean(step_times[-20:] or [0]):.3f}s/step)", flush=True)
+      if step % args.eval_every == 0 or step == args.steps:
+        rec = eval_views(model, state.params, scene, data, cfg, config,
+                         views, outdir=imgdir, step=step)
+        rec["step"] = step
+        rec["loss"] = float(np.mean(losses[-50:]))
+        rec["psnr_batch"] = float(metrics["psnr"])
+        curve.append(rec)
+        print("eval:", {k: round(v, 2) for k, v in rec.items()}, flush=True)
+
+  if args.quick:
+    # tiny CI smoke: overfit signal only (train view up, loss down)
+    rise = curve[-1]["psnr_train_view"] - curve[0]["psnr_train_view"]
+    q = max(len(losses) // 4, 1)
+    loss_drop = float(np.median(losses[:q]) - np.median(losses[-q:]))
+  else:
+    novel_keys = [k for k in curve[-1] if k.startswith("psnr_novel")
+                  and not k.endswith("_dyn")]
+    rise = min(curve[-1][k] - curve[0][k] for k in novel_keys)
+    loss_drop = None
+  result = {
+      "tag": args.tag,
+      "backend": jax.default_backend(),
+      "steps": args.steps,
+      "config": {
+          "N_rand": config.N_rand, "N_samples": config.N_samples,
+          "frames": data.num_frames, "hw": [scene.h, scene.w],
+          "strip_train": bool(args.strip),
+          "init_decay_epoch": config.init_decay_epoch,
+          "compute_dtype": config.compute_dtype},
+      "sec_per_step_mean": float(np.mean(step_times)) if step_times else None,
+      "final": {k: round(float(v), 3) for k, v in curve[-1].items()},
+      "init": {k: round(float(v), 3) for k, v in curve[0].items()},
+      "novel_psnr_rise_db": round(float(rise), 3),
+      "loss_drop": loss_drop,
+      "gate_db": args.gate_db,
+      "gate_passed": bool(rise >= args.gate_db
+                          and (loss_drop is None or loss_drop > 0)),
+      "curve": [{k: round(float(v), 4) for k, v in r.items()}
+                for r in curve],
+  }
+  out_path = os.path.join(args.outdir, f"convergence_{args.tag}.json")
+  with open(out_path, "w") as fh:
+    json.dump(result, fh, indent=2)
+  print(json.dumps({k: v for k, v in result.items() if k != "curve"}))
+  print(f"wrote {out_path}")
+  if not result["gate_passed"]:
+    print(f"GATE FAILED: novel-view PSNR rise {rise:.2f} dB "
+          f"< {args.gate_db} dB", file=sys.stderr)
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+  main()

@@ -42,6 +42,7 @@ def _setup():
   return config, model, state, tx, rb, weights
 
 
+@pytest.mark.compileheavy
 def test_render_rays_mv_train_anchor_branch():
   _, model, state, _, rb, _ = _setup()
   coarse_fm, fine_fm = compute_ff_featmaps(model, state.params, rb)

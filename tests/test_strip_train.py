@@ -140,6 +140,7 @@ def test_strip_train_render_gradients_match_exact():
                              np.asarray(flat_e) / scale, atol=2e-5)
 
 
+@pytest.mark.compileheavy
 def test_full_train_step_production_combo_strip_train():
   """Trace/compile check of the PRODUCTION training combination with
   strip_train on: bf16 + fused Pallas aggregators (split backward) +

@@ -19,7 +19,9 @@ import jax
 from tests.test_dataset_on_disk import build_tiny_scene
 
 
-@pytest.mark.parametrize("mesh_shape", ["8", "1"])
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [pytest.param("8", marks=pytest.mark.compileheavy), "1"])
 def test_train_cli_two_phases(tmp_path, monkeypatch, mesh_shape):
   scene_root = build_tiny_scene(tmp_path / "scenes")
   rootdir = tmp_path / "run" / mesh_shape
