@@ -66,6 +66,17 @@ def main():
   wd.cancel()
   print(f"# backend: {jax.default_backend()} x{n_dev}", flush=True)
 
+  # DYNIBAR_BENCH_EVAL=0 skips the eval rays/s + frame sections and reports
+  # the train step alone — the training-kernel sweeps
+  # (scripts/sweep_round2_tpu.sh) only change backward kernels, so
+  # re-measuring the unchanged eval path each entry wastes minutes
+  if os.environ.get("DYNIBAR_BENCH_EVAL", "1") == "0":
+    sec = _train_step_seconds()
+    print(json.dumps({"metric": "mono_train_sec_per_step",
+                      "value": round(sec, 3), "unit": "s/step",
+                      "train_sec_per_step": round(sec, 3)}))
+    return
+
   from dynibar_tpu.config import RenderSettings
   from dynibar_tpu.data.ray_batch import synthetic_ff_batch
   from dynibar_tpu.models.dynibar import FFModel

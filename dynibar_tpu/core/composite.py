@@ -117,5 +117,12 @@ def render_optical_flow(weights: jnp.ndarray, pts_3d_seq: jnp.ndarray,
              + w2c[:, None, :3, 3])
   pix = jnp.einsum("vij,vrj->vri", k[:, :3, :3], pts_src,
                    precision=cam.HIGHEST)
-  pix = pix / pix[..., -1:]
-  return pix[..., :2] - uv_grid[None]
+  # Guarded perspective divide (same policy as projection.project_points):
+  # the reference divides unguarded (render_ray.py:352-354), but a ray with
+  # zero source coverage has weights == 0, so exp_pts == 0 and the divide is
+  # 0/0 — the resulting NaN poisons the masked flow loss (NaN * 0 = NaN).
+  # Identical to the reference wherever its value is finite.
+  z = pix[..., -1:]
+  z = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
+  pix = pix / z
+  return jnp.clip(pix[..., :2], -1e6, 1e6) - uv_grid[None]

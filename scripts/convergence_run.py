@@ -278,6 +278,42 @@ def main():
     json.dump(result, fh, indent=2)
   print(json.dumps({k: v for k, v in result.items() if k != "curve"}))
   print(f"wrote {out_path}")
+  if not args.quick:   # CI smoke runs must not touch the repo's table
+    _append_convergence_md(args, result, curve)
+
+
+def _append_convergence_md(args, result, curve):
+  """Append a summary row to CONVERGENCE.md at the repo root (creating the
+  header on first use) so runs accumulate into one reviewable table."""
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  path = os.path.join(repo, "CONVERGENCE.md")
+  novel = sorted(k for k in curve[-1]
+                 if k.startswith("psnr_novel") and not k.endswith("_dyn"))
+  header = (
+      "# Convergence runs (scripts/convergence_run.py)\n\n"
+      "Overfit of the mono model on the analytic multi-view-consistent\n"
+      "scene (`data/synthetic_scene.ConsistentScene`); \"novel\" PSNR is on\n"
+      "held-out cameras never seen in training, with exact ground truth.\n"
+      "Gate: min novel-view PSNR rise over init >= gate_db.\n\n"
+      "| tag | backend | steps | s/step | train-view PSNR (init->final) | "
+      "min novel rise (dB) | novel finals (dB) | gate | date |\n"
+      "|---|---|---|---|---|---|---|---|---|\n")
+  if not os.path.exists(path):
+    with open(path, "w") as fh:
+      fh.write(header)
+  sps = result["sec_per_step_mean"]
+  row = ("| {tag} | {backend} | {steps} | {sps} | {tv0:.1f} -> {tv1:.1f} | "
+         "{rise:+.2f} | {novf} | {gate} | {date} |\n").format(
+             tag=args.tag, backend=result["backend"], steps=args.steps,
+             sps=f"{sps:.3f}" if sps else "-",
+             tv0=curve[0]["psnr_train_view"], tv1=curve[-1]["psnr_train_view"],
+             rise=result["novel_psnr_rise_db"],
+             novf=", ".join(f"{curve[-1][k]:.1f}" for k in novel) or "-",
+             gate="PASS" if result["gate_passed"] else "FAIL",
+             date=time.strftime("%Y-%m-%d"))
+  with open(path, "a") as fh:
+    fh.write(row)
+  print(f"appended row to {path}")
   if not result["gate_passed"]:
     print(f"GATE FAILED: novel-view PSNR rise {rise:.2f} dB "
           f"< {args.gate_db} dB", file=sys.stderr)

@@ -21,7 +21,7 @@ def test_quick_convergence_cpu(tmp_path):
   env.pop("PYTEST_CURRENT_TEST", None)
   proc = subprocess.run(
       [sys.executable, _SCRIPT, "--quick", "--steps", "120",
-       "--eval_every", "60", "--gate_db", "2.0",
+       "--eval_every", "60", "--gate_db", "1.5",
        "--outdir", str(tmp_path), "--tag", "ci"],
       env=env, capture_output=True, text=True, timeout=1800)
   assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
@@ -29,4 +29,4 @@ def test_quick_convergence_cpu(tmp_path):
     result = json.load(fh)
   assert result["gate_passed"], result
   assert result["loss_drop"] > 0
-  assert result["novel_psnr_rise_db"] >= 2.0
+  assert result["novel_psnr_rise_db"] >= 1.5

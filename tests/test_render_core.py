@@ -161,3 +161,22 @@ def test_render_rays_mv_coarse_fine():
   z = np.asarray(ret["outputs_fine_ref"]["z_vals"])
   assert (np.diff(z, axis=-1) >= -1e-6).all(), "fine z_vals must be sorted"
   assert np.isfinite(np.asarray(ret["outputs_fine_ref"]["rgb"])).all()
+
+
+def test_render_optical_flow_zero_coverage_ray_is_finite():
+  """A ray with no source-view coverage has weights == 0, so the expected
+  trajectory point is the origin and the perspective divide is 0/0 — the
+  guarded divide must return finite flow (the NaN would otherwise poison
+  the masked flow loss: NaN * 0 = NaN).  Reference divides unguarded
+  (render_ray.py:352-354) and would NaN on such rays."""
+  from dynibar_tpu.core.cameras import intrinsics_from_hwf, make_camera
+  v, r, s = 3, 5, 4
+  rng = np.random.RandomState(0)
+  weights = jnp.asarray(rng.rand(r, s).astype(np.float32))
+  weights = weights.at[2].set(0.0)              # the uncovered ray
+  pts = jnp.asarray(rng.randn(v, r, s, 3).astype(np.float32) + 3.0)
+  k = intrinsics_from_hwf(32, 48, 40.0)
+  cams = np.stack([make_camera(32, 48, k, np.eye(4)) for _ in range(v)])
+  uv = jnp.asarray(rng.rand(r, 2).astype(np.float32) * 32)
+  flow = comp.render_optical_flow(weights, pts, jnp.asarray(cams), uv)
+  assert np.isfinite(np.asarray(flow)).all()
