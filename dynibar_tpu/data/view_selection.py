@@ -67,9 +67,17 @@ def get_interval_pose_ids(tar_pose, ref_poses, tar_id=-1,
 def mono_static_pose_ids(idx: int, num_frames: int, num_frames_sample: int,
                          max_range: int, render_pose, train_poses,
                          rng: np.random.RandomState) -> np.ndarray:
-  """Randomized-interval static view selection (monocular.py:276-298)."""
+  """Randomized-interval static view selection (monocular.py:276-298).
+
+  Divergence: when ``max_range // num_frames_sample <= 1`` (short scenes /
+  small max_range) the reference's ``np.random.randint(2, max_interval+1)``
+  raises ``low >= high``; its shipped configs (max_range 40-42, 7 views)
+  never hit that edge.  Here the interval floors at 2 instead, keeping
+  byte-identical behavior wherever the reference is well-defined.
+  """
   max_interval = max_range // num_frames_sample
-  interval = rng.randint(max(2, max_interval - 2), max_interval + 1)
+  lo = max(2, max_interval - 2)
+  interval = rng.randint(lo, max(max_interval + 1, lo + 1))
   ids = []
   for ii in range(-num_frames_sample, num_frames_sample):
     rand_j = rng.randint(1, interval + 1)

@@ -97,6 +97,11 @@ def test_view_selection_orders_and_excludes_target():
   st = mono_static_pose_ids(10, 20, 7, 35, poses[10], poses, rng)
   assert 10 not in st
   assert (st >= 0).all() and (st < 20).all()
+  # short-scene edge: max_range // views <= 1 crashes the reference
+  # (randint(2, 2)); ours floors the interval at 2 (view_selection.py)
+  st_small = mono_static_pose_ids(10, 20, 7, 12, poses[10], poses, rng)
+  assert 10 not in st_small
+  assert (st_small >= 0).all() and (st_small < 20).all()
 
 
 def test_nvidia_static_ids_skip_render_viewpoint():
