@@ -95,6 +95,11 @@ class DynibarConfig:
   lrate_mlp: float = 5e-4
   lrate_decay_factor: float = 0.5
   lrate_decay_steps: int = 50000
+  # Global-norm gradient clip (0 = off, matching the reference, which never
+  # clips).  Compressed schedules (convergence overfits, small synthetic
+  # scenes) can hit sudden trajectory-basis blowups that the reference's
+  # 300k-step horizon never reaches; this is the run-level guard for those.
+  clip_grad_norm: float = 0.0
 
   # loss weights
   w_cycle: float = 0.1

@@ -78,8 +78,17 @@ def make_mono_optimizer(config: DynibarConfig) -> optax.GradientTransformation:
       "motion_mlp": adam(config.lrate_mlp),
       "traj_basis": adam(config.lrate_mlp * 0.25),
   }
-  return optax.multi_transform(
+  tx = optax.multi_transform(
       transforms, param_labels=lambda params: {k: k for k in params})
+  return _maybe_clip(tx, config)
+
+
+def _maybe_clip(tx: optax.GradientTransformation,
+                config: DynibarConfig) -> optax.GradientTransformation:
+  """Prepend a global-norm clip when config.clip_grad_norm > 0."""
+  if getattr(config, "clip_grad_norm", 0.0) and config.clip_grad_norm > 0:
+    return optax.chain(optax.clip_by_global_norm(config.clip_grad_norm), tx)
+  return tx
 
 
 def make_ff_optimizer(config: DynibarConfig) -> optax.GradientTransformation:
@@ -106,8 +115,9 @@ def make_ff_optimizer(config: DynibarConfig) -> optax.GradientTransformation:
       "motion_mlp": frozen,
       "traj_basis": frozen,
   }
-  return optax.multi_transform(
+  tx = optax.multi_transform(
       transforms, param_labels=lambda params: {k: k for k in params})
+  return _maybe_clip(tx, config)
 
 
 def create_train_state(model: MonoModel, config: DynibarConfig,
@@ -157,6 +167,7 @@ def make_train_step(model: MonoModel, tx: optax.GradientTransformation,
   def step(state: TrainState, rb, weights, rng):
     grads, metrics = jax.grad(loss_fn, has_aux=True)(
         state.params, rb, weights, rng)
+    metrics["grad_norm"] = optax.global_norm(grads)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), metrics
@@ -230,6 +241,7 @@ def make_ff_train_step(model: FFModel, tx: optax.GradientTransformation,
   def step(state: TrainState, rb, weights, rng):
     grads, metrics = jax.grad(loss_fn, has_aux=True)(
         state.params, rb, weights, rng)
+    metrics["grad_norm"] = optax.global_norm(grads)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), metrics

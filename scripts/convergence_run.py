@@ -47,6 +47,11 @@ def parse_args():
                   help="tiny CPU configuration for CI smoke")
   ap.add_argument("--gate_db", type=float, default=8.0,
                   help="required novel-view PSNR rise over init (dB)")
+  ap.add_argument("--clip", type=float, default=0.0,
+                  help="global-norm gradient clip (0 = off, like the ref)")
+  ap.add_argument("--resume", action="store_true",
+                  help="resume params+opt from the latest checkpoint in "
+                       "<outdir>/ckpt_<tag>")
   return ap.parse_args()
 
 
@@ -90,7 +95,7 @@ def build(args):
         num_source_views=7, num_vv=3, num_basis=6, max_range=24,
         init_decay_epoch=args.init_decay_epoch, chunk_size=4608,
         compute_dtype="bfloat16", use_remat=True, fused_aggregators=True,
-        workers=2, i_print=50,
+        workers=2, i_print=50, clip_grad_norm=args.clip,
         strip_sampling=args.strip, strip_train=args.strip,
         coherent_ray_segment=16 if args.strip else 0)
 
@@ -177,11 +182,27 @@ def main():
   from dynibar_tpu.train.losses import schedule_weights
   from dynibar_tpu.train.trainer import create_train_state, make_train_step
 
+  from dynibar_tpu.utils.checkpoints import (latest_checkpoint,
+                                             load_checkpoint, save_checkpoint)
+
   scene, config, data = build(args)
   cfg = config.render_settings("mono")
   model = MonoModel(cfg=cfg, num_frames=data.num_frames,
                     remat=config.use_remat)
   state, tx = create_train_state(model, config, jax.random.PRNGKey(0))
+  ckpt_dir = os.path.join(args.outdir, f"ckpt_{args.tag}")
+  start_step = 0
+  if args.resume:
+    latest = latest_checkpoint(ckpt_dir)
+    if latest is not None:
+      payload = load_checkpoint(
+          latest, {"params": state.params, "opt_state": state.opt_state,
+                   "step": np.int32(0)})
+      state = type(state)(params=payload["params"],
+                          opt_state=payload["opt_state"],
+                          step=jnp.asarray(payload["step"], jnp.int32))
+      start_step = int(payload["step"])
+      print(f"resumed from {latest} at step {start_step}")
   bootstrap_step = make_train_step(model, tx, cfg, bootstrap=True,
                                    donate=False)
   full_step = make_train_step(model, tx, cfg, bootstrap=False, donate=False)
@@ -201,9 +222,11 @@ def main():
   curve.append(rec0)
   print("init:", {k: round(v, 2) for k, v in rec0.items()})
 
-  rng = jax.random.PRNGKey(1)
+  rng = jax.random.PRNGKey(1 + start_step)
   n_bootstrap_epochs = config.init_decay_epoch // 2
   losses, step_times = [], []
+  term_keys = ("rgb_loss", "disp_loss", "flow_loss", "cycle_loss",
+               "reg_loss", "entropy_loss", "distortion_loss", "static_loss")
 
   def sample(np_rng):
     return data.sample_batch(np_rng, config.N_rand, config.sample_mode)
@@ -211,7 +234,7 @@ def main():
   with PrefetchPipeline(sample, num_workers=config.workers, seed=0) as pipe:
     epoch_prev, weights = -1, None
     t_step0 = None
-    for step in range(1, args.steps + 1):
+    for step in range(start_step + 1, args.steps + 1):
       epoch = step // data.num_frames
       if epoch != epoch_prev:
         data.set_epoch(epoch)
@@ -230,17 +253,24 @@ def main():
       t_step0 = t0
       losses.append(loss)
       if step % config.i_print == 0:
+        gn = metrics.get("grad_norm")
         print(f"step {step} epoch {epoch} loss={loss:.4f} "
               f"psnr_batch={float(metrics['psnr']):.2f} "
-              f"({np.mean(step_times[-20:] or [0]):.3f}s/step)", flush=True)
+              + (f"gnorm={float(gn):.2f} " if gn is not None else "")
+              + f"({np.mean(step_times[-20:] or [0]):.3f}s/step)", flush=True)
       if step % args.eval_every == 0 or step == args.steps:
         rec = eval_views(model, state.params, scene, data, cfg, config,
                          views, outdir=imgdir, step=step)
         rec["step"] = step
         rec["loss"] = float(np.mean(losses[-50:]))
         rec["psnr_batch"] = float(metrics["psnr"])
+        for k in term_keys:           # per-term snapshot of the last batch
+          if k in metrics:
+            rec[k] = float(metrics[k])
         curve.append(rec)
-        print("eval:", {k: round(v, 2) for k, v in rec.items()}, flush=True)
+        print("eval:", {k: round(v, 4) for k, v in rec.items()}, flush=True)
+        save_checkpoint(ckpt_dir, step, state.params, state.opt_state,
+                        keep=40)
 
   if args.quick:
     # tiny CI smoke: overfit signal only (train view up, loss down)
