@@ -49,6 +49,48 @@ def test_train_step_decreases_nothing_nan(setup):
   assert diff > 0
 
 
+def test_grad_clip_rescales_to_threshold(setup):
+  """clip_grad_norm=c makes updates(g) == updates(g * c/||g||) for ||g||>c.
+
+  This is the exact defining property of a prepended global-norm clip and
+  is robust to Adam's per-coordinate renormalization (which hides the
+  effect of a global rescale from step-size-based assertions).
+  """
+  config, model, state, _tx, _rb = setup
+  clip = 1e-3
+  tx_c = make_mono_optimizer(dataclasses.replace(config,
+                                                 clip_grad_norm=clip))
+  opt_state = tx_c.init(state.params)
+
+  # synthetic huge gradients shaped like the params
+  leaves, treedef = jax.tree_util.tree_flatten(state.params)
+  keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+  grads = jax.tree_util.tree_unflatten(
+      treedef, [100.0 * jax.random.normal(k, l.shape, l.dtype)
+                for k, l in zip(keys, leaves)])
+  import optax
+  gnorm = float(optax.global_norm(grads))
+  assert gnorm > clip
+  pre_scaled = jax.tree_util.tree_map(lambda g: g * (clip / gnorm), grads)
+
+  up_huge, _ = tx_c.update(grads, opt_state, state.params)
+  up_scaled, _ = tx_c.update(pre_scaled, opt_state, state.params)
+  for a, b in zip(jax.tree_util.tree_leaves(up_huge),
+                  jax.tree_util.tree_leaves(up_scaled)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-8)
+
+  # and clip off (default) keeps the plain multi_transform behavior
+  tx_plain = make_mono_optimizer(config)
+  up_plain, _ = tx_plain.update(pre_scaled, tx_plain.init(state.params),
+                                state.params)
+  up_clip_small, _ = tx_c.update(pre_scaled, opt_state, state.params)
+  for a, b in zip(jax.tree_util.tree_leaves(up_plain),
+                  jax.tree_util.tree_leaves(up_clip_small)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-8)
+
+
 def test_bootstrap_step_runs(setup):
   config, model, state, tx, rb = setup
   step_fn = make_train_step(model, tx, CFG, bootstrap=True, donate=False)
