@@ -149,6 +149,14 @@ def eval_views(model, params, scene, data, cfg, config, views, outdir=None,
                             config.chunk_size, h, w)
     rgb = np.asarray(ret["outputs_coarse_ref"]["rgb"], np.float32)
     rec[f"psnr_{vname}"] = masked_psnr(rgb, gt, np.ones_like(gt))
+    # The reference never evaluates IBR borders: render_monocular_bt.py
+    # crops 3% per side before writing frames (border rays of an offset
+    # camera leave every source view's coverage).  Report the same
+    # protocol; the gate consumes this metric.
+    ch, cw = max(1, round(0.03 * h)), max(1, round(0.03 * w))
+    crop = np.s_[ch:h - ch, cw:w - cw]
+    rec[f"psnr_{vname}_crop3"] = masked_psnr(
+        rgb[crop], gt[crop], np.ones_like(gt[crop]))
     if dyn.any():
       dyn3 = np.repeat(dyn[..., None].astype(np.float32), 3, axis=-1)
       rec[f"psnr_{vname}_dyn"] = masked_psnr(rgb, gt, dyn3)
@@ -274,12 +282,20 @@ def main():
 
   if args.quick:
     # tiny CI smoke: overfit signal only (train view up, loss down)
-    rise = curve[-1]["psnr_train_view"] - curve[0]["psnr_train_view"]
+    rise = (curve[-1].get("psnr_train_view_crop3",
+                          curve[-1]["psnr_train_view"])
+            - curve[0].get("psnr_train_view_crop3",
+                           curve[0]["psnr_train_view"]))
     q = max(len(losses) // 4, 1)
     loss_drop = float(np.median(losses[:q]) - np.median(losses[-q:]))
   else:
+    # gate on the reference's output protocol (3% border crop, see
+    # eval_views); fall back to full-image keys for old-format curves
     novel_keys = [k for k in curve[-1] if k.startswith("psnr_novel")
-                  and not k.endswith("_dyn")]
+                  and k.endswith("_crop3")]
+    if not novel_keys:
+      novel_keys = [k for k in curve[-1] if k.startswith("psnr_novel")
+                    and not k.endswith("_dyn")]
     rise = min(curve[-1][k] - curve[0][k] for k in novel_keys)
     loss_drop = None
   result = {
@@ -322,12 +338,17 @@ def _append_convergence_md(args, result, curve):
   repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
   path = os.path.join(repo, "CONVERGENCE.md")
   novel = sorted(k for k in curve[-1]
-                 if k.startswith("psnr_novel") and not k.endswith("_dyn"))
+                 if k.startswith("psnr_novel") and k.endswith("_crop3"))
+  if not novel:
+    novel = sorted(k for k in curve[-1]
+                   if k.startswith("psnr_novel") and not k.endswith("_dyn"))
   header = (
       "# Convergence runs (scripts/convergence_run.py)\n\n"
       "Overfit of the mono model on the analytic multi-view-consistent\n"
       "scene (`data/synthetic_scene.ConsistentScene`); \"novel\" PSNR is on\n"
-      "held-out cameras never seen in training, with exact ground truth.\n"
+      "held-out cameras never seen in training, with exact ground truth,\n"
+      "under the reference's 3% border-crop output protocol\n"
+      "(render_monocular_bt.py crops every rendered frame).\n"
       "Gate: min novel-view PSNR rise over init >= gate_db.\n\n"
       "| tag | backend | steps | s/step | train-view PSNR (init->final) | "
       "min novel rise (dB) | novel finals (dB) | gate | date |\n"
@@ -340,7 +361,10 @@ def _append_convergence_md(args, result, curve):
          "{rise:+.2f} | {novf} | {gate} | {date} |\n").format(
              tag=args.tag, backend=result["backend"], steps=args.steps,
              sps=f"{sps:.3f}" if sps else "-",
-             tv0=curve[0]["psnr_train_view"], tv1=curve[-1]["psnr_train_view"],
+             tv0=curve[0].get("psnr_train_view_crop3",
+                              curve[0]["psnr_train_view"]),
+             tv1=curve[-1].get("psnr_train_view_crop3",
+                               curve[-1]["psnr_train_view"]),
              rise=result["novel_psnr_rise_db"],
              novf=", ".join(f"{curve[-1][k]:.1f}" for k in novel) or "-",
              gate="PASS" if result["gate_passed"] else "FAIL",
