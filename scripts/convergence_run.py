@@ -222,13 +222,25 @@ def main():
         f"frames={data.num_frames} {scene.h}x{scene.w} "
         f"N_rand={config.N_rand} steps={args.steps}")
 
+  out_path = os.path.join(args.outdir, f"convergence_{args.tag}.json")
   curve = []
-  rec0 = eval_views(model, params=state.params, scene=scene, data=data,
-                    cfg=cfg, config=config, views=views, outdir=imgdir,
-                    step=0)
-  rec0["step"] = 0
-  curve.append(rec0)
-  print("init:", {k: round(v, 2) for k, v in rec0.items()})
+  if args.resume and start_step > 0 and os.path.exists(out_path):
+    # merge the prior (possibly partial) curve so "rise over init" spans
+    # the whole training history, not just the resumed tail — accelerator
+    # tunnels do die mid-run
+    with open(out_path) as fh:
+      prev = json.load(fh)
+    curve = [r for r in prev.get("curve", [])
+             if r.get("step", 0) <= start_step]
+    if curve:
+      print(f"merged {len(curve)} prior eval points from {out_path}")
+  if not curve:
+    rec0 = eval_views(model, params=state.params, scene=scene, data=data,
+                      cfg=cfg, config=config, views=views, outdir=imgdir,
+                      step=0)
+    rec0["step"] = 0
+    curve.append(rec0)
+    print("init:", {k: round(v, 2) for k, v in rec0.items()})
 
   rng = jax.random.PRNGKey(1 + start_step)
   n_bootstrap_epochs = config.init_decay_epoch // 2
@@ -279,6 +291,13 @@ def main():
         print("eval:", {k: round(v, 4) for k, v in rec.items()}, flush=True)
         save_checkpoint(ckpt_dir, step, state.params, state.opt_state,
                         keep=40)
+        # durable partial record: a dead tunnel must not lose the curve
+        with open(out_path, "w") as fh:
+          json.dump({"partial": True, "tag": args.tag, "steps_done": step,
+                     "sec_per_step_mean": (float(np.mean(step_times))
+                                           if step_times else None),
+                     "curve": [{k: round(float(v), 4) for k, v in r.items()}
+                               for r in curve]}, fh, indent=2)
 
   if args.quick:
     # tiny CI smoke: overfit signal only (train view up, loss down)
@@ -319,7 +338,6 @@ def main():
       "curve": [{k: round(float(v), 4) for k, v in r.items()}
                 for r in curve],
   }
-  out_path = os.path.join(args.outdir, f"convergence_{args.tag}.json")
   with open(out_path, "w") as fh:
     json.dump(result, fh, indent=2)
   print(json.dumps({k: v for k, v in result.items() if k != "curve"}))
