@@ -135,8 +135,11 @@ def main():
   def batches(epoch_holder):
     def sample(np_rng):
       return data.sample_batch(np_rng, config.N_rand, config.sample_mode)
+    # multi-process: batches stay numpy until shard_ray_batch assembles the
+    # global arrays (device_put here would just round-trip device->host)
     return PrefetchPipeline(sample, num_workers=config.workers,
-                            seed=epoch_holder)
+                            seed=epoch_holder,
+                            device_put=jax.process_count() == 1)
 
   # ---- phase 1: static bootstrap (reference train.py:116-225) ----
   with mesh_ctx(), batches(0) as pipe:
@@ -180,8 +183,15 @@ def main():
           print(f"saved checkpoint at {global_step}")
 
         if global_step % config.i_img == 0 and is_main:
-          # full-frame render panels (reference train.py:548-571)
+          # full-frame render panels (reference train.py:548-571).
+          # Multi-process: params are globally-sharded jax.Arrays that a
+          # single rank cannot feed to a process-local jit — pull the
+          # (fully-replicated, hence host-readable) copy so the panel
+          # render runs rank-locally with no collective participation
+          # required from the other ranks.
           from dynibar_tpu.train.view_logging import log_train_view
+          log_params = (jax.device_get(state.params)
+                        if jax.process_count() > 1 else state.params)
           rb_host = {k: np.asarray(v) for k, v in rb.items()}
           frame_idx = int(rb_host["ref_frame_idx"])
           provider = getattr(data, "providers", [data])[0]
@@ -192,7 +202,7 @@ def main():
                                  for o in (1, 2, 3, -1, -2, -3)])
           except (FileNotFoundError, OSError):
             gt_flows = None
-          log_train_view(logger, global_step, model, state.params, rb_host,
+          log_train_view(logger, global_step, model, log_params, rb_host,
                          cfg, config.chunk_size, gt, gt_disp,
                          gt_flows=gt_flows)
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dynibar_tpu.cli.train import parse_args
+from dynibar_tpu.data import factory
 from dynibar_tpu.data.nvidia import NvidiaSceneData
 from dynibar_tpu.data.pipeline import PrefetchPipeline
 from dynibar_tpu.models.dynibar import FFModel
@@ -118,17 +119,24 @@ def main():
   def put(rb):
     return shard_ray_batch(mesh, rb) if mesh is not None else rb
 
+  # multi-host: view-level draws stay on the process-SHARED stream (every
+  # rank must build identical replicated batch keys — the
+  # make_array_from_process_local_data contract); only the ray positions
+  # come from a per-process pixel stream (cli.train gets this from the
+  # dataset factory; the Nvidia provider is driven directly here)
+  n_proc, proc_id = jax.process_count(), jax.process_index()
+
   def sample(np_rng):
-    return data.sample_batch(np_rng, config.N_rand)
+    pixel_rng = (factory.fold_pixel_rng(np_rng, proc_id)
+                 if n_proc > 1 else None)
+    return data.sample_batch(np_rng, config.N_rand, pixel_rng=pixel_rng)
 
   rng = jax.random.PRNGKey(1)
   global_step = int(state.step)
   t0 = time.time()
-  # fold the process index into the stream seed so multi-host ranks draw
-  # disjoint batches (cli.train gets this from the dataset factory)
   with (mesh if mesh is not None else contextlib.nullcontext()), \
-       PrefetchPipeline(sample, num_workers=config.workers,
-                        seed=jax.process_index()) as pipe:
+       PrefetchPipeline(sample, num_workers=config.workers, seed=0,
+                        device_put=n_proc == 1) as pipe:
     while global_step < start_step + config.n_iters + 1:
       epoch = global_step // data.num_frames
       data.set_epoch(epoch)

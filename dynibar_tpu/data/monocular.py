@@ -151,9 +151,20 @@ class MonocularSceneData:
 
   # -------------------------------------------------------------- batch --
   def sample_batch(self, rng: np.random.RandomState, n_rays: int,
-                   sample_mode: str = "uniform", center_ratio: float = 0.8
+                   sample_mode: str = "uniform", center_ratio: float = 0.8,
+                   pixel_rng: np.random.RandomState | None = None
                    ) -> Dict[str, np.ndarray]:
+    """One fixed-shape training ray batch.
+
+    `pixel_rng`, when given, drives ONLY the pixel (ray-position) draws;
+    every view-level draw (target frame, anchors, vv picks, static ids)
+    stays on `rng`.  Multi-host data-parallel passes a per-process
+    pixel_rng and a process-shared rng so replicated batch keys are
+    bit-identical across hosts (the jax.make_array_from_process_local_data
+    contract) while the globally-sharded ray axis carries disjoint pixels.
+    """
     cfg = self.cfg
+    prng = rng if pixel_rng is None else pixel_rng
     idx = rng.randint(3, self.num_frames - 3)
     rgb = self._load_rgb(idx)
     h, w = rgb.shape[:2]
@@ -167,7 +178,7 @@ class MonocularSceneData:
       bw = int(w * (1 - center_ratio) / 2.0)
       uu, vv = np.meshgrid(np.arange(bw, w - bw), np.arange(bh, h - bh))
       flat = (vv.reshape(-1) * w + uu.reshape(-1))
-      sel = flat[rng.choice(flat.shape[0], size=n_rays, replace=False)]
+      sel = flat[prng.choice(flat.shape[0], size=n_rays, replace=False)]
     elif getattr(self.config, "coherent_ray_segment", 0) > 0:
       # scanline-coherent mode (strip_train): contiguous segments keep each
       # Pallas sampler group's epipolar y-window tight.  Segment starts are
@@ -179,17 +190,17 @@ class MonocularSceneData:
       # start then shifted by i*seg (a uniform sample of non-overlapping
       # placements)
       slack = max(h * w - n_seg * seg + 1, 1)
-      starts = np.sort(rng.choice(slack, size=min(n_seg, slack),
-                                  replace=False))
+      starts = np.sort(prng.choice(slack, size=min(n_seg, slack),
+                                   replace=False))
       starts = starts + np.arange(starts.shape[0]) * seg
       sel = (starts[:, None] + np.arange(seg)[None]).reshape(-1)[:n_rays]
       if sel.shape[0] < n_rays:                      # n_rays % seg != 0
         pool = np.setdiff1d(np.arange(h * w), sel)
         sel = np.concatenate([
-            sel, rng.choice(pool, size=n_rays - sel.shape[0],
-                            replace=False)])
+            sel, prng.choice(pool, size=n_rays - sel.shape[0],
+                             replace=False)])
     else:
-      sel = rng.choice(h * w, size=n_rays, replace=False)
+      sel = prng.choice(h * w, size=n_rays, replace=False)
     py, px = np.divmod(sel, w)
     uv = np.stack([px, py], axis=-1).astype(np.float32)
 

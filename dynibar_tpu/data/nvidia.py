@@ -117,7 +117,9 @@ class NvidiaSceneData:
             np.zeros(shape[:2] + (1,), np.float32))
 
   def sample_batch(self, rng: np.random.RandomState, n_rays: int,
-                   sample_mode: str = "uniform") -> Dict[str, np.ndarray]:
+                   sample_mode: str = "uniform",
+                   pixel_rng: np.random.RandomState | None = None
+                   ) -> Dict[str, np.ndarray]:
     """Fixed-shape FF *training* ray batch.
 
     The shipped reference trains only the mono model (train.py builds
@@ -129,12 +131,15 @@ class NvidiaSceneData:
     """
     del sample_mode
     cfg = self.cfg
+    # pixel_rng (when given) draws only ray positions; view-level draws stay
+    # on the process-shared rng — see monocular.sample_batch for why
+    prng = rng if pixel_rng is None else pixel_rng
     idx = int(rng.randint(3, self.num_frames - 3))
     rgb = _imread_float(self.rgb_files[idx])[..., :3]
     h, w = rgb.shape[:2]
     motion_mask = self._motion_mask(idx, (h, w))
 
-    sel = rng.choice(h * w, size=n_rays, replace=False)
+    sel = prng.choice(h * w, size=n_rays, replace=False)
     py, px = np.divmod(sel, w)
     uv = np.stack([px, py], axis=-1).astype(np.float32)
     kinv = np.linalg.inv(self.intrinsics[idx][:3, :3])

@@ -55,11 +55,16 @@ def shard_ray_batch(mesh: Mesh, rb: Dict[str, Any],
   """Place a host ray batch onto the mesh with ray-axis sharding.
 
   Single-process: a plain device_put per key.  Multi-controller (one
-  process per host, config.distributed): every process holds a DIFFERENT
-  local batch (disjoint sample streams), so global arrays are assembled
-  from per-process local data — the global ray axis is
-  process_count × local N_rand; replicated keys (source stacks, cameras,
-  scalars) use each process's local value for its own devices.
+  process per host, config.distributed): global arrays are assembled from
+  per-process local data — the global ray axis is process_count × local
+  N_rand, with each process contributing DISJOINT ray positions of the
+  SAME target view.  Replicated keys (source stacks, cameras, scalars)
+  must be bit-identical across processes —
+  ``jax.make_array_from_process_local_data`` requires replica hosts to
+  pass identical data (XLA may serve any replica's copy) — which the data
+  layer guarantees by drawing view-level choices from a process-shared
+  stream and only the pixel positions from a per-process stream
+  (``data/factory.fold_pixel_rng``).
   """
   shardings = ray_batch_shardings(mesh, rb, axis_name)
   if jax.process_count() == 1:

@@ -70,12 +70,20 @@ state = replicate(mesh, state)
 step = make_train_step(model, tx, cfg, donate=False)
 weights = schedule_weights(config, epoch=2)
 
-np_rng = np.random.RandomState(7)   # same on both ranks; factory folds rank
+np_rng = np.random.RandomState(7)   # same on both ranks: shared view stream
 with mesh:
   for i in range(2):
     rb = data.sample_batch(np_rng, config.N_rand)
     state, metrics = step(state, shard_ray_batch(mesh, rb), weights,
                           jax.random.PRNGKey(10 + i))
+
+# the make_array_from_process_local_data contract: replicated keys must be
+# bit-identical across ranks; the sharded ray axis must be rank-disjoint
+repl_digest = float(np.float64(rb["src_rgbs"]).sum()
+                    + np.float64(rb["static_src_rgbs"]).sum()
+                    + np.float64(rb["camera"]).sum()
+                    + float(rb["ref_frame_idx"]))
+ray_digest = float(np.float64(rb["uv_grid"]).sum())
 
 # fully-replicated global arrays are host-readable on every rank
 digest = float(sum(
@@ -85,4 +93,6 @@ print(json.dumps({"rank": jax.process_index(),
                   "n_proc": jax.process_count(),
                   "global_devices": len(jax.devices()),
                   "loss": float(metrics["loss"]),
-                  "digest": digest}), flush=True)
+                  "digest": digest,
+                  "repl_digest": repl_digest,
+                  "ray_digest": ray_digest}), flush=True)

@@ -19,8 +19,9 @@ class _FakeProvider:
   def set_epoch(self, epoch):
     self.epoch = epoch
 
-  def sample_batch(self, rng, n_rays, sample_mode="uniform"):
-    return {"tag": self.tag, "x": rng.rand(n_rays)}
+  def sample_batch(self, rng, n_rays, sample_mode="uniform", pixel_rng=None):
+    return {"tag": self.tag, "x": rng.rand(n_rays),
+            "px": (rng if pixel_rng is None else pixel_rng).rand(n_rays)}
 
 
 def test_mixture_weights_and_epoch_propagation():
@@ -33,13 +34,21 @@ def test_mixture_weights_and_epoch_propagation():
   assert tags.count("a") > 150  # 0.9 weight dominates
 
 
-def test_mixture_process_disjoint_streams():
+def test_mixture_process_shared_views_disjoint_pixels():
+  """Multi-host semantics: view-level draws are process-SHARED (replicated
+  batch keys must be identical across hosts — the
+  make_array_from_process_local_data contract) while pixel draws are
+  per-process disjoint (the globally-sharded ray axis)."""
   a = _FakeProvider("a")
-  m0 = MixtureDataset([a], [1.0], process_index=0)
-  m1 = MixtureDataset([a], [1.0], process_index=1)
-  x0 = m0.sample_batch(np.random.RandomState(5), 8)["x"]
-  x1 = m1.sample_batch(np.random.RandomState(5), 8)["x"]
-  assert not np.allclose(x0, x1)
+  m0 = MixtureDataset([a], [1.0], process_index=0, process_count=2)
+  m1 = MixtureDataset([a], [1.0], process_index=1, process_count=2)
+  b0 = m0.sample_batch(np.random.RandomState(5), 8)
+  b1 = m1.sample_batch(np.random.RandomState(5), 8)
+  assert np.allclose(b0["x"], b1["x"])        # shared view stream
+  assert not np.allclose(b0["px"], b1["px"])  # disjoint pixel streams
+  # single-process: pixel draws come from the main stream, unchanged
+  s = MixtureDataset([a], [1.0]).sample_batch(np.random.RandomState(5), 8)
+  assert not np.allclose(s["x"], s["px"])
 
 
 def test_factory_unknown_dataset_is_clean_error():

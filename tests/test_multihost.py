@@ -71,6 +71,11 @@ def test_two_process_data_parallel_train(tmp_path):
   # bit-identical replicated params after sharded steps on both ranks
   assert recs[0]["digest"] == pytest.approx(recs[1]["digest"], rel=0, abs=0)
   assert recs[0]["loss"] == pytest.approx(recs[1]["loss"], rel=0, abs=0)
+  # data contract of make_array_from_process_local_data: replicated batch
+  # keys identical across ranks, sharded ray axis rank-disjoint
+  assert recs[0]["repl_digest"] == pytest.approx(recs[1]["repl_digest"],
+                                                 rel=0, abs=0)
+  assert recs[0]["ray_digest"] != recs[1]["ray_digest"]
 
   # rank-0-only IO: exactly one args.json + checkpoints written once
   args_files, ckpt_dirs = [], []
