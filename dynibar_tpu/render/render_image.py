@@ -86,22 +86,41 @@ def _chunked_batches(rb: Dict[str, Any], chunk_size: int,
 
 
 def _run_chunks(render_chunk, params, rb_c, extra, n_chunks, n_rays,
-                exact_chunk=None, stats: Optional[dict] = None):
+                exact_chunk=None, stats: Optional[dict] = None,
+                serialize: bool = False):
   """Run every chunk; when a chunk reports a sampling-coverage miss and an
   `exact_chunk` renderer is supplied, transparently re-render that chunk
   through the exact per-sample-gather program (auto-exact fallback: the
   fast path stays bit-correct end to end, misses only cost one re-render
-  of their chunk)."""
-  # dispatch every chunk before inspecting coverage: the bool() sync would
-  # otherwise serialize the async chunk pipeline
-  outs, covs = zip(*[render_chunk(params, rb_c, *extra, i)
-                     for i in range(n_chunks)])
-  outs = list(outs)
+  of their chunk).
+
+  serialize=True (set when the inputs are mesh-sharded) blocks each chunk
+  before dispatching the next: concurrently in-flight executions of a
+  sharded program can interleave their collectives at the XLA:CPU
+  rendezvous — devices split between different executions' all-reduce /
+  collective-permute, the rendezvous times out, and the runtime SIGABRTs
+  the process.  One execution in flight at a time cannot desync.
+  """
+  if serialize:
+    outs, covs = [], []
+    for i in range(n_chunks):
+      o, c = render_chunk(params, rb_c, *extra, i)
+      o = jax.block_until_ready(o)
+      outs.append(o)
+      covs.append(c)
+  else:
+    # dispatch every chunk before inspecting coverage: the bool() sync
+    # would otherwise serialize the async chunk pipeline
+    outs, covs = zip(*[render_chunk(params, rb_c, *extra, i)
+                       for i in range(n_chunks)])
+    outs = list(outs)
   n_fallback = 0
   if exact_chunk is not None:
     for i, cov in enumerate(covs):
       if not bool(cov):
         outs[i], _ = exact_chunk(params, rb_c, *extra, i)
+        if serialize:
+          outs[i] = jax.block_until_ready(outs[i])
         n_fallback += 1
   if stats is not None:
     stats["chunks"] = n_chunks
@@ -289,14 +308,17 @@ def render_image_mono(model, params, rb: Dict[str, Any], featmaps,
   rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
   exact = (_mono_chunk_fn(model, _exact_cfg(cfg), det, train_view)
            if cfg.strip_sampling and cfg.strip_auto_exact else None)
-  if scan_chunks and mesh is None:
+  if scan_chunks:
+    # under a mesh the scan path is also the SAFE path: one compiled
+    # program owns every chunk's collectives (see _run_chunks docstring)
     frame_fn = _mono_scan_fn(model, cfg, det, train_view)
     merged = _run_scan(frame_fn, params, rb_c, (featmaps,), n_rays,
                        exact_chunk=exact, stats=stats)
   else:
     render_chunk = _mono_chunk_fn(model, cfg, det, train_view)
     merged = _run_chunks(render_chunk, params, rb_c, (featmaps,), n_chunks,
-                         n_rays, exact_chunk=exact, stats=stats)
+                         n_rays, exact_chunk=exact, stats=stats,
+                         serialize=mesh is not None)
   return _to_images(merged, height, width)
 
 
@@ -309,11 +331,12 @@ def render_image_ff(model, params, rb: Dict[str, Any], coarse_featmaps,
   """Render a full target view with the forward-facing (Nvidia) model.
 
   Auto-exact fallback as in :func:`render_image_mono`.  scan_chunks=True
-  (default off-mesh) renders all chunks in ONE dispatch via lax.map."""
+  (default) renders all chunks in ONE dispatch via lax.map — on a mesh this
+  also makes one program own all collectives (no rendezvous races)."""
   rb_c, n_chunks, n_rays = _chunked_batches(rb, chunk_size, mesh)
   exact = (_ff_chunk_fn(model, _exact_cfg(cfg), det)
            if cfg.strip_sampling and cfg.strip_auto_exact else None)
-  if scan_chunks and mesh is None:
+  if scan_chunks:
     frame_fn = _ff_scan_fn(model, cfg, det)
     merged = _run_scan(frame_fn, params, rb_c,
                        (coarse_featmaps, fine_featmaps), n_rays,
@@ -322,5 +345,6 @@ def render_image_ff(model, params, rb: Dict[str, Any], coarse_featmaps,
     render_chunk = _ff_chunk_fn(model, cfg, det)
     merged = _run_chunks(render_chunk, params, rb_c,
                          (coarse_featmaps, fine_featmaps), n_chunks, n_rays,
-                         exact_chunk=exact, stats=stats)
+                         exact_chunk=exact, stats=stats,
+                         serialize=mesh is not None)
   return _to_images(merged, height, width)

@@ -59,6 +59,31 @@ def test_scan_chunks_matches_per_chunk_dispatch(setup):
                                  err_msg=f"{fam}/{key}")
 
 
+def test_mesh_many_chunk_frame_render_both_paths(setup):
+  """Regression for the round-3 XLA:CPU collective-rendezvous SIGABRT: a
+  many-chunk frame on the 8-device mesh.  The per-chunk dispatch loop used
+  to keep several executions of the sharded chunk program in flight at
+  once; devices could split between different executions' collectives and
+  the rendezvous timeout aborted the process.  Both mesh paths (one-dispatch
+  lax.map scan — the default — and the serialized per-chunk loop) must
+  complete and match the single-device render."""
+  model, params, rb, featmaps = setup
+  mesh = make_mesh(jax.devices()[:8])
+  single = render_image_mono(model, params, rb, featmaps, CFG,
+                             chunk_size=16, height=H, width=W)
+  # 12*16=192 rays / chunk 16 -> 12 chunks (the crash shape's chunk count)
+  scan = render_image_mono(model, params, rb, featmaps, CFG,
+                           chunk_size=16, height=H, width=W, mesh=mesh,
+                           scan_chunks=True)
+  loop = render_image_mono(model, params, rb, featmaps, CFG,
+                           chunk_size=16, height=H, width=W, mesh=mesh,
+                           scan_chunks=False)
+  for out in (scan, loop):
+    np.testing.assert_allclose(out["outputs_coarse_ref"]["rgb"],
+                               single["outputs_coarse_ref"]["rgb"],
+                               atol=1e-5)
+
+
 def test_mesh_chunk_size_must_divide(setup):
   model, params, rb, featmaps = setup
   mesh = make_mesh(jax.devices()[:8])
