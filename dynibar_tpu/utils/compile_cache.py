@@ -22,6 +22,29 @@ import os
 _ENABLED = False
 
 
+def cache_fingerprint() -> str:
+  """Fingerprint that must change whenever cached XLA:CPU executables stop
+  being loadable: the host CPU's feature flags (AOT code built with e.g.
+  avx512/amx aborts the process on a host without them) AND the
+  jax/jaxlib versions (an entry's embedded XLA target config — the LLVM
+  feature string like ``+prefer-no-scatter,...`` — is checked against the
+  *current* runtime's, and a mismatch aborts rather than misses).  Keying
+  the cache DIRECTORY by all of these turns every incompatibility into a
+  clean miss: a different runtime simply looks in a different directory.
+  """
+  import hashlib
+
+  import jax
+  import jaxlib
+
+  try:
+    flags = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
+  except (OSError, IndexError):
+    flags = ""
+  blob = "\n".join([flags, jax.__version__, jaxlib.__version__])
+  return hashlib.md5(blob.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache() -> str | None:
   """Idempotently enable the persistent compilation cache.
 
@@ -41,18 +64,11 @@ def enable_compile_cache() -> str | None:
   if _ENABLED or jax.config.jax_compilation_cache_dir:
     return jax.config.jax_compilation_cache_dir
 
-  # key the default dir by the host CPU's feature set: XLA:CPU AOT
-  # executables are not portable across machine types (loading one built
-  # with e.g. avx512/amx on a host without them aborts the process), and
-  # home directories / tmp can outlive a machine swap
-  try:
-    flags = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
-  except (OSError, IndexError):
-    flags = ""
-  import hashlib
-  cpu_key = hashlib.md5(flags.encode()).hexdigest()[:10]
+  # key the default dir by host CPU features + jax/jaxlib versions so an
+  # incompatible entry is a clean miss, never an abort (cache_fingerprint)
   path = raw or os.path.join(
-      os.path.expanduser("~"), ".cache", "dynibar_tpu", f"jax_{cpu_key}")
+      os.path.expanduser("~"), ".cache", "dynibar_tpu",
+      f"jax_{cache_fingerprint()}")
   try:
     os.makedirs(path, exist_ok=True)
   except OSError:

@@ -19,25 +19,21 @@ if "host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
       flags + " --xla_force_host_platform_device_count=8").strip()
 
-import hashlib  # noqa: E402
-
 import jax  # noqa: E402
 
 if not _TPU_MODE:
   jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persist compiled executables across pytest runs (single-core compiles).
-# The cache dir is keyed by the host CPU's feature set: XLA:CPU AOT
-# executables are NOT portable across machine types (loading one compiled
-# with e.g. avx512/amx on a host without them aborts the process), and
-# /tmp can survive a machine swap.
-try:
-  _flags = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
-except (OSError, IndexError):
-  _flags = ""
-_cpu_key = hashlib.md5(_flags.encode()).hexdigest()[:10]
+# The cache dir is keyed by host CPU features + jax/jaxlib versions
+# (utils/compile_cache.cache_fingerprint): XLA:CPU AOT executables are
+# NOT portable across machine types OR runtimes — loading an entry whose
+# embedded target config mismatches the current jaxlib aborts the process
+# instead of missing — and /tmp can survive a machine swap.
+from dynibar_tpu.utils.compile_cache import cache_fingerprint  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_cache_dynibar_tests_{_cpu_key}")
+                  f"/tmp/jax_cache_dynibar_tests_{cache_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 if not _TPU_MODE:
