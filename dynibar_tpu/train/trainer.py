@@ -141,13 +141,11 @@ def compute_featmaps(model: MonoModel, params, rb):
   return dy, anchor, st
 
 
-def make_train_step(model: MonoModel, tx: optax.GradientTransformation,
-                    cfg: RenderSettings, *, bootstrap: bool = False,
-                    donate: bool = True) -> Callable:
-  """Build the jitted train step.
-
-  step(state, rb, weights, rng) -> (state, metrics)
-  """
+def make_mono_loss_fn(model: MonoModel, cfg: RenderSettings, *,
+                      bootstrap: bool = False) -> Callable:
+  """The train step's loss closure: loss_fn(params, rb, weights, rng) ->
+  (loss, metrics).  Exposed so equivalence tests can differentiate the
+  exact program the train step uses (sharded-vs-single gradient parity)."""
 
   def loss_fn(params, rb, weights, rng):
     featmaps = compute_featmaps(model, params, rb)
@@ -164,6 +162,18 @@ def make_train_step(model: MonoModel, tx: optax.GradientTransformation,
     metrics["psnr"] = -10.0 * jnp.log(mse + 1e-8) / jnp.log(10.0)
     return loss, metrics
 
+  return loss_fn
+
+
+def make_train_step(model: MonoModel, tx: optax.GradientTransformation,
+                    cfg: RenderSettings, *, bootstrap: bool = False,
+                    donate: bool = True) -> Callable:
+  """Build the jitted train step.
+
+  step(state, rb, weights, rng) -> (state, metrics)
+  """
+  loss_fn = make_mono_loss_fn(model, cfg, bootstrap=bootstrap)
+
   def step(state: TrainState, rb, weights, rng):
     grads, metrics = jax.grad(loss_fn, has_aux=True)(
         state.params, rb, weights, rng)
@@ -178,6 +188,89 @@ def make_train_step(model: MonoModel, tx: optax.GradientTransformation,
 
 FF_COARSE_KEYS = ("net_coarse_st", "net_coarse_dy", "feature_net",
                   "motion_mlp", "traj_basis")
+
+
+def make_ff_coarse_optimizer(
+    config: DynibarConfig) -> optax.GradientTransformation:
+  """Adam param groups for COARSE-stage FF training (the run that produces
+  the frozen checkpoint model.py:102 loads).  Mirrors the mono layout
+  (reference model.py:341-351) on the coarse groups; fine groups frozen."""
+  gamma = config.lrate_decay_factor
+  steps = max(1, config.lrate_decay_steps)
+  cap = _lr_cap_exponent(config.lrate_mlp * 0.5, gamma)
+
+  def adam(lr):
+    return optax.adam(steplr_schedule(lr, gamma, steps, cap))
+
+  frozen = optax.set_to_zero()
+  transforms = {
+      "net_coarse_st": adam(config.lrate_mlp * 0.5),
+      "net_coarse_dy": adam(config.lrate_mlp),
+      "feature_net": adam(config.lrate_feature),
+      "motion_mlp": adam(config.lrate_mlp),
+      "traj_basis": adam(config.lrate_mlp * 0.25),
+      "net_fine_st": frozen,
+      "net_fine_dy": frozen,
+      "feature_net_fine": frozen,
+      "motion_mlp_fine": frozen,
+      "traj_basis_fine": frozen,
+  }
+  tx = optax.multi_transform(
+      transforms, param_labels=lambda params: {k: k for k in params})
+  return _maybe_clip(tx, config)
+
+
+def compute_ff_coarse_featmaps(model: FFModel, params, rb):
+  """Featmap tuple (dy, anchor, static) for coarse-stage FF training.
+
+  Channel routing follows the eval wiring for the coarse stage
+  (eval_nvidia.py:335-358): dynamic <- feature_net coarse channels,
+  static <- feature_net FINE channels; anchors route like dynamic.
+  """
+  c_src, _ = model.apply_feature(params, "feature_net", rb["src_rgbs"])
+  c_anchor, _ = model.apply_feature(params, "feature_net",
+                                    rb["anchor_src_rgbs"])
+  _, c_st = model.apply_feature(params, "feature_net",
+                                rb["static_src_rgbs"])
+  return (c_src, c_anchor, c_st)
+
+
+def make_ff_coarse_loss_fn(model: FFModel, cfg: RenderSettings) -> Callable:
+  """Coarse-stage FF loss closure — the mono 8-term assembly applied to
+  the coarse outputs (render_rays_ff_coarse's ret key layout)."""
+  from dynibar_tpu.render.render_rays import render_rays_ff_coarse
+
+  def loss_fn(params, rb, weights, rng):
+    fm = compute_ff_coarse_featmaps(model, params, rb)
+    ret = render_rays_ff_coarse(model, params, rb, fm, cfg,
+                                det=False, is_train=True, rng=rng,
+                                needs_grad=True)
+    metrics = losses_lib.compute_mono_losses(ret, rb, weights)
+    loss = metrics["loss"]
+    mse = jnp.mean((ret["outputs_coarse_ref"]["rgb"] - rb["rgb"]) ** 2)
+    metrics["psnr"] = -10.0 * jnp.log(mse + 1e-8) / jnp.log(10.0)
+    return loss, metrics
+
+  return loss_fn
+
+
+def make_ff_coarse_train_step(model: FFModel,
+                              tx: optax.GradientTransformation,
+                              cfg: RenderSettings, *,
+                              donate: bool = True) -> Callable:
+  """Jitted coarse-stage FF train step: step(state, rb, weights, rng)."""
+  loss_fn = make_ff_coarse_loss_fn(model, cfg)
+
+  def step(state: TrainState, rb, weights, rng):
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(
+        state.params, rb, weights, rng)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+  donate_argnums = (0,) if donate else ()
+  return jax.jit(step, donate_argnums=donate_argnums)
 
 
 def create_ff_train_state(
@@ -217,16 +310,8 @@ def compute_ff_featmaps(model: FFModel, params, rb):
   return (coarse[0], None, coarse[1]), (f_src, f_anchor, f_st)
 
 
-def make_ff_train_step(model: FFModel, tx: optax.GradientTransformation,
-                       cfg: RenderSettings, *,
-                       donate: bool = True) -> Callable:
-  """Jitted fine-stage train step for the forward-facing model.
-
-  step(state, rb, weights, rng) -> (state, metrics).  Gradients reach only
-  the fine-stage groups; make_ff_optimizer zeroes the rest (and the render
-  core stop_gradients the coarse program), so the frozen coarse params are
-  bit-identical across steps.
-  """
+def make_ff_loss_fn(model: FFModel, cfg: RenderSettings) -> Callable:
+  """FF fine-stage loss closure (see make_mono_loss_fn)."""
 
   def loss_fn(params, rb, weights, rng):
     coarse_fm, fine_fm = compute_ff_featmaps(model, params, rb)
@@ -237,6 +322,21 @@ def make_ff_train_step(model: FFModel, tx: optax.GradientTransformation,
     mse = jnp.mean((ret["outputs_fine_ref"]["rgb"] - rb["rgb"]) ** 2)
     metrics["psnr"] = -10.0 * jnp.log(mse + 1e-8) / jnp.log(10.0)
     return loss, metrics
+
+  return loss_fn
+
+
+def make_ff_train_step(model: FFModel, tx: optax.GradientTransformation,
+                       cfg: RenderSettings, *,
+                       donate: bool = True) -> Callable:
+  """Jitted fine-stage train step for the forward-facing model.
+
+  step(state, rb, weights, rng) -> (state, metrics).  Gradients reach only
+  the fine-stage groups; make_ff_optimizer zeroes the rest (and the render
+  core stop_gradients the coarse program), so the frozen coarse params are
+  bit-identical across steps.
+  """
+  loss_fn = make_ff_loss_fn(model, cfg)
 
   def step(state: TrainState, rb, weights, rng):
     grads, metrics = jax.grad(loss_fn, has_aux=True)(

@@ -13,8 +13,8 @@ from dynibar_tpu.models.dynibar import MonoModel
 from dynibar_tpu.parallel.mesh import make_mesh, replicate, shard_ray_batch
 from dynibar_tpu.train.losses import schedule_weights
 from dynibar_tpu.train.trainer import (create_train_state, make_train_step,
-                                       make_mono_optimizer, steplr_schedule,
-                                       _lr_cap_exponent)
+                                       make_mono_loss_fn, make_mono_optimizer,
+                                       steplr_schedule, _lr_cap_exponent)
 
 CFG = RenderSettings(n_samples=16, num_views_dy=9, num_views_anchor=10,
                      num_views_static=6, num_vv=3, num_basis=4)
@@ -184,22 +184,68 @@ def test_steplr_cap_pins_all_six_mono_groups():
 
 
 def test_sharded_train_step_8_devices(setup):
+  """Sharded == single-device for the TRAIN step, to numerical tolerance.
+
+  The SAME batch runs through the single-device and 8-device-mesh train
+  steps; loss and post-step parameters must match.  This kills the bug
+  class the reference actually shipped (train.py:769-772: data sharded
+  across ranks, gradients never averaged) — a wrong or missing grad
+  all-reduce moves every updated parameter, which isfinite checks (the
+  pre-round-4 assertion) could never see."""
   config, model, state, tx, rb_unused = setup
   assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
   mesh = make_mesh(jax.devices()[:8])
   rb_host = synthetic_mono_batch(CFG, n_rays=16, h=32, w=48, num_frames=32)
   step_fn = make_train_step(model, tx, CFG, donate=False)
+  weights = schedule_weights(config, epoch=0)
+  rng = jax.random.PRNGKey(3)
+
+  # single-device reference step on the identical inputs
+  rb_single = {k: jnp.asarray(v) for k, v in rb_host.items()}
+  state1, metrics1 = step_fn(state, rb_single, weights, rng)
+
   with mesh:
     state_r = replicate(mesh, state)
     rb = shard_ray_batch(mesh, rb_host)
     # per-ray arrays really live sharded across the mesh
     assert len(rb["ray_o"].sharding.device_set) == 8
-    weights = schedule_weights(config, epoch=0)
-    state2, metrics = step_fn(state_r, rb, weights, jax.random.PRNGKey(3))
+    state2, metrics = step_fn(state_r, rb, weights, rng)
     assert np.isfinite(float(metrics["loss"]))
     # updated params stay replicated (grad all-reduce happened)
     leaf = jax.tree_util.tree_leaves(state2.params)[0]
     assert len(leaf.sharding.device_set) in (1, 8)
+
+  np.testing.assert_allclose(float(metrics["loss"]),
+                             float(metrics1["loss"]), rtol=1e-5)
+  np.testing.assert_allclose(float(metrics["grad_norm"]),
+                             float(metrics1["grad_norm"]), rtol=1e-4)
+  # GRADIENTS are where the all-reduce mean lives: differentiate the exact
+  # loss the step uses, single-device vs mesh-sharded, and demand per-leaf
+  # relative-norm agreement.  (Post-Adam params can't be compared tightly:
+  # near-zero-gradient elements make step-1 Adam a sign function, so
+  # reduction-order noise flips them by O(lr).)
+  loss_fn = make_mono_loss_fn(model, CFG)
+  grad_fn = jax.jit(jax.grad(lambda p, b: loss_fn(p, b, weights, rng)[0]))
+  g1 = grad_fn(state.params, rb_single)
+  with mesh:
+    g2 = grad_fn(replicate(mesh, state.params), rb)
+  for k in g1:
+    n1 = np.sqrt(sum(float(np.sum(np.square(x)))
+                     for x in jax.tree_util.tree_leaves(g1[k])))
+    nd = np.sqrt(sum(float(np.sum(np.square(np.asarray(a) - np.asarray(b))))
+                     for a, b in zip(jax.tree_util.tree_leaves(g1[k]),
+                                     jax.tree_util.tree_leaves(g2[k]))))
+    assert nd <= 1e-4 * max(n1, 1e-8), (
+        f"sharded grad for group {k} deviates: |d|={nd:.3g} vs |g|={n1:.3g}")
+  # params get a coarse absolute backstop only: step-1 Adam is
+  # scale-invariant in the gradient (m/sqrt(v) = g/|g|), so near-zero-grad
+  # elements wobble by O(lr) under reduction reordering — and that same
+  # invariance means params at step 1 could NOT expose a missing grad mean
+  # even if compared exactly.  The per-group gradient check above is the
+  # assertion that kills the reference's train.py:769-772 bug class.
+  for a1, a2 in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-3)
 
 
 def test_graft_entry_contract():
