@@ -71,10 +71,10 @@ def main():
   # (scripts/sweep_round2_tpu.sh) only change backward kernels, so
   # re-measuring the unchanged eval path each entry wastes minutes
   if os.environ.get("DYNIBAR_BENCH_EVAL", "1") == "0":
-    sec = _train_step_seconds()
+    tstats = _train_step_seconds()
     print(json.dumps({"metric": "mono_train_sec_per_step",
-                      "value": round(sec, 3), "unit": "s/step",
-                      "train_sec_per_step": round(sec, 3)}))
+                      "value": round(tstats["sec"], 3), "unit": "s/step",
+                      **_train_fields(tstats)}))
     return
 
   from dynibar_tpu.config import RenderSettings
@@ -182,10 +182,10 @@ def main():
   # (N_rand=3072, 64 samples, 8-term loss, grads, adam; split-kernel
   # aggregator backwards + corner-folded sampler gradient).  Guarded so a
   # training-path failure can never lose the primary eval metrics.
-  train_sec_per_step = None
+  train_stats = None
   if os.environ.get("DYNIBAR_BENCH_TRAIN", "1") == "1":
     try:
-      train_sec_per_step = _train_step_seconds()
+      train_stats = _train_step_seconds()
     except Exception as e:  # noqa: BLE001 — report eval metrics regardless
       print(f"# train-step bench failed: {type(e).__name__}: {e}",
             flush=True)
@@ -200,14 +200,46 @@ def main():
           REFERENCE_SEC_PER_FRAME_4XA100 / sec_per_frame, 3),
       "scene_minutes_projected": round(198 * sec_per_frame / 60.0, 1),
   }
-  if train_sec_per_step is not None:
-    result["train_sec_per_step"] = round(train_sec_per_step, 3)
+  if train_stats is not None:
+    result.update(_train_fields(train_stats))
   print(json.dumps(result))
 
 
-def _train_step_seconds(iters: int = 4) -> float:
+def _train_fields(stats: dict) -> dict:
+  """JSON fields for the train-step record, incl. the load-robustness
+  evidence (round-3 incident: one concurrent pytest inflated the driver's
+  4-iter mean to 4.6x the docs' number; the record is now the min over
+  more iters, with variance + host-load flags that make a corrupted
+  measurement visible in the artifact itself)."""
+  out = {
+      "train_sec_per_step": round(stats["sec"], 3),
+      "train_sec_per_step_mean": round(stats["mean"], 3),
+      "train_iter_cv": round(stats["cv"], 3),
+      "host_load1_per_cpu": round(stats["load1_per_cpu"], 2),
+  }
+  warnings = []
+  if stats["cv"] > 0.2:
+    warnings.append(f"iter variance high (cv={stats['cv']:.2f}): host was "
+                    "busy during the run; min is reported but treat with "
+                    "suspicion")
+  if stats["load1_per_cpu"] > 0.5:
+    warnings.append(f"host load {stats['load1_per_cpu']:.2f}/cpu during "
+                    "bench; timings may be inflated")
+  if warnings:
+    out["train_warning"] = "; ".join(warnings)
+  return out
+
+
+def _train_step_seconds(iters: int = 10) -> dict:
   """One monocular train step at the reference shape (see
-  scripts/profile_train_fused.py for the sweep version)."""
+  scripts/profile_train_fused.py for the sweep version).
+
+  Returns {'sec': min-over-iters, 'mean', 'cv', 'load1_per_cpu'}.  Each
+  iteration is timed individually with a host sync (a scalar transfer —
+  block_until_ready does not fence the remote-TPU backend) and the record
+  is the MIN: a busy host or a competing process can only ever make an
+  iteration slower, so min is the load-robust estimator of the true step
+  time, and the coefficient of variation exposes contamination."""
   from dynibar_tpu.config import DynibarConfig
   from dynibar_tpu.data.ray_batch import synthetic_mono_batch
   from dynibar_tpu.models.dynibar import MonoModel
@@ -253,11 +285,21 @@ def _train_step_seconds(iters: int = 4) -> float:
 
   fb = full_step(jnp.float32(0), state, rb)
   float(fb)                                   # host sync (see module doc)
-  t0 = time.perf_counter()
+  times = []
   for _ in range(iters):
+    t0 = time.perf_counter()
     fb = full_step(fb * 1e-12, state, rb)
-  float(fb)
-  return (time.perf_counter() - t0) / iters
+    float(fb)                                 # per-iter host sync
+    times.append(time.perf_counter() - t0)
+  mean = sum(times) / len(times)
+  var = sum((t - mean) ** 2 for t in times) / len(times)
+  try:
+    load1 = os.getloadavg()[0] / max(os.cpu_count() or 1, 1)
+  except OSError:
+    load1 = -1.0
+  return {"sec": min(times), "mean": mean,
+          "cv": (var ** 0.5) / mean if mean > 0 else 0.0,
+          "load1_per_cpu": load1}
 
 
 if __name__ == "__main__":
