@@ -127,27 +127,20 @@ def _prep_featmap(fm: jnp.ndarray, blk: int) -> jnp.ndarray:
   return fm.reshape(v, w, hp * cp)
 
 
-def pallas_bilinear_sample_views(
-    featmaps: jnp.ndarray, grid: jnp.ndarray, group: int = 0,
-    blk: int = 0, interpret: bool = False
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """Sample featmaps [V,H,W,C] at grid [V,R,S,2] (normalized, (x,y)).
+def window_prep(grid: jnp.ndarray, h: int, w: int, dtype,
+                group: int = 0, blk: int = 0) -> dict:
+  """Per-point packed fields + the window-coverage predicate.
 
-  Rays are grouped `group` at a time (consecutive rays share a y-window;
-  eval rays are scanline-ordered so adjacent rays' epipolar segments are
-  nearly identical).  group=0 auto-sizes ~2048 points per kernel step
-  (1024 for f32 -- VMEM).  blk=0 scales the y-window block with the map
-  height (16 rows for <=1/4-res feature maps, 32 for full-res images) so
-  coverage stays comparable across resolutions; blk*ceil(C/8)*8 must be
-  a 128-multiple.
-
-  Returns (vals [V,R,S,C] in featmap dtype, covered [V,R,S] bool).
+  Shared by the kernel launcher and by coverage diagnostics
+  (scripts/strip_coverage_probe.py): the `covered` it returns is exactly
+  the mask the sampler hands back, so coverage of a candidate
+  (group, blk) pairing can be measured without running the kernel.
   """
-  v, h, w, c = featmaps.shape
+  v, r = grid.shape[0], grid.shape[1]
+  s = grid.shape[2]
   if blk <= 0:
     blk = _BLK if h <= 128 else 2 * _BLK
-  _, r, s, _ = grid.shape
-  n_target = 1024 if featmaps.dtype == jnp.float32 else 2048
+  n_target = 1024 if dtype == jnp.float32 else 2048
   if group <= 0:
     group = max(8, (n_target // s) // 8 * 8)  # 8-multiple: n stays aligned
   r_pad = (-r) % group
@@ -176,7 +169,7 @@ def pallas_bilinear_sample_views(
   wya = jnp.where(vy0, 1.0 - wy1, 0.0)
   wyb = jnp.where(vy1, wy1, 0.0)
 
-  # per-group y window: two _BLK-row blocks starting at the lowest
+  # per-group y window: two blk-row blocks starting at the lowest
   # contributing corner's block (clamped so the high block exists)
   contrib = (vx0 | vx1) & (vy0 | vy1)
   y0c = jnp.clip(y0, 0, max(h - 2, 0)).astype(jnp.int32)
@@ -197,6 +190,34 @@ def pallas_bilinear_sample_views(
     return a.astype(jnp.float32).reshape(v, n_grp, n)
   pk = jnp.stack([gp(x0), gp(y0 - wl), gp(wl // blk), gp(wxa), gp(wxb),
                   gp(wya), gp(wyb), gp(jnp.zeros_like(wxa))], axis=2)
+  return {"blk": blk, "group": group, "grid": grid, "covered": covered,
+          "r": r, "rp": rp, "n_grp": n_grp, "n": n, "n_blk": n_blk,
+          "pk": pk}
+
+
+def pallas_bilinear_sample_views(
+    featmaps: jnp.ndarray, grid: jnp.ndarray, group: int = 0,
+    blk: int = 0, interpret: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Sample featmaps [V,H,W,C] at grid [V,R,S,2] (normalized, (x,y)).
+
+  Rays are grouped `group` at a time (consecutive rays share a y-window;
+  eval rays are scanline-ordered so adjacent rays' epipolar segments are
+  nearly identical).  group=0 auto-sizes ~2048 points per kernel step
+  (1024 for f32 -- VMEM).  blk=0 scales the y-window block with the map
+  height (16 rows for <=1/4-res feature maps, 32 for full-res images) so
+  coverage stays comparable across resolutions; blk*ceil(C/8)*8 must be
+  a 128-multiple.
+
+  Returns (vals [V,R,S,C] in featmap dtype, covered [V,R,S] bool).
+  """
+  v, h, w, c = featmaps.shape
+  s = grid.shape[2]
+  prep = window_prep(grid, h, w, featmaps.dtype, group=group, blk=blk)
+  blk, group = prep["blk"], prep["group"]
+  grid, covered = prep["grid"], prep["covered"]
+  r, rp, n_grp, n = prep["r"], prep["rp"], prep["n_grp"], prep["n"]
+  n_blk, pk = prep["n_blk"], prep["pk"]
 
   fmt = _prep_featmap(featmaps, blk)
   cp = -(-c // 8) * 8

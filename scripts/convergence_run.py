@@ -87,7 +87,11 @@ def build(args):
         num_source_views=4, num_vv=2, num_basis=4, max_range=8,
         init_decay_epoch=args.init_decay_epoch, chunk_size=1024,
         compute_dtype="float32", use_remat=False, fused_aggregators=False,
-        workers=2, i_print=10)
+        workers=2, i_print=10, clip_grad_norm=args.clip,
+        # --quick --strip used to silently drop the strip flags, making
+        # the combination test nothing; keep it honest
+        strip_sampling=args.strip, strip_train=args.strip,
+        coherent_ray_segment=16 if args.strip else 0)
   else:
     config = DynibarConfig(
         folder_path=root, train_scenes=[name], training_height=args.height,
@@ -325,6 +329,7 @@ def main():
           "N_rand": config.N_rand, "N_samples": config.N_samples,
           "frames": data.num_frames, "hw": [scene.h, scene.w],
           "strip_train": bool(args.strip),
+          "clip_grad_norm": float(args.clip),
           "init_decay_epoch": config.init_decay_epoch,
           "compute_dtype": config.compute_dtype},
       "sec_per_step_mean": float(np.mean(step_times)) if step_times else None,
@@ -368,16 +373,19 @@ def _append_convergence_md(args, result, curve):
       "under the reference's 3% border-crop output protocol\n"
       "(render_monocular_bt.py crops every rendered frame).\n"
       "Gate: min novel-view PSNR rise over init >= gate_db.\n\n"
-      "| tag | backend | steps | s/step | train-view PSNR (init->final) | "
+      "| tag | clip | steps | s/step | train-view PSNR (init→final) | "
       "min novel rise (dB) | novel finals (dB) | gate | date |\n"
       "|---|---|---|---|---|---|---|---|---|\n")
   if not os.path.exists(path):
     with open(path, "w") as fh:
       fh.write(header)
   sps = result["sec_per_step_mean"]
-  row = ("| {tag} | {backend} | {steps} | {sps} | {tv0:.1f} -> {tv1:.1f} | "
+  # column 2 is the gradient clip (round-3 advisor finding: a backend
+  # string in the clip column made the tpu3kstrip FAIL unauditable)
+  row = ("| {tag} | {clip} | {steps} | {sps} | {tv0:.1f} → {tv1:.1f} | "
          "{rise:+.2f} | {novf} | {gate} | {date} |\n").format(
-             tag=args.tag, backend=result["backend"], steps=args.steps,
+             tag=args.tag,
+             clip=f"{args.clip:g}" if args.clip else "—", steps=args.steps,
              sps=f"{sps:.3f}" if sps else "-",
              tv0=curve[0].get("psnr_train_view_crop3",
                               curve[0]["psnr_train_view"]),
