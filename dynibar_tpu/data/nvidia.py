@@ -112,7 +112,9 @@ class NvidiaSceneData:
                         f"{idx:05d}_{tag}.npz")
     if os.path.isfile(path):
       data = np.load(path)
-      return data["flow"], np.float32(data["mask"])
+      return (data["flow"],
+              np.asarray(data["mask"], np.float32).reshape(
+                  shape[0], shape[1], 1))
     return (np.zeros(shape[:2] + (2,), np.float32),
             np.zeros(shape[:2] + (1,), np.float32))
 
@@ -185,9 +187,16 @@ class NvidiaSceneData:
       st_cams.append(st_cams[0])
       st_valid.append(0.0)
 
+    # flow GT in SOURCE-VIEW order (FF_SRC_OFFSETS): render_flows[v] is
+    # the rendered flow toward source view v, so supervision must align
+    # per view.  Offset 0 (the frame itself) is never supervised.
     flows, fmasks = [], []
-    for o in (1, 2, 3, -1, -2, -3):
-      fl, fm = self._try_flow(idx, o, (h, w))
+    for o in FF_SRC_OFFSETS:
+      if o == 0:
+        fl = np.zeros((h, w, 2), np.float32)
+        fm = np.zeros((h, w, 1), np.float32)
+      else:
+        fl, fm = self._try_flow(idx, o, (h, w))
       flows.append(fl.reshape(-1, 2)[sel])
       fmasks.append(fm.reshape(-1, 1)[sel])
 

@@ -213,9 +213,19 @@ def synthetic_ff_batch(
     rgbs.append(_textured_image(h, w, seed * 131 + i))
     cams.append(make_camera(h, w, k, poses[i]))
     off_idx.append(o + 3)
+  rng = np.random.RandomState(seed + 7)
+  # FF flow supervision rides in SOURCE-VIEW order (FF_SRC_OFFSETS,
+  # -3..3): render_flows[v] is the flow toward source view v, so the GT
+  # stack must align per view — the mono order (1,2,3,-1,-2,-3) would
+  # pair every view with the wrong flow.  Offset 0 (the frame itself) is
+  # never supervised: mask row 3 is zero.
+  flow_masks = np.ones((7, n_rays, 1), np.float32)
+  flow_masks[3] = 0.0
   mono.update({
       "src_rgbs": np.stack(rgbs), "src_cameras": np.stack(cams),
       "src_offset_idx": np.array(off_idx, np.int32),
       "src_valid": np.ones(7, np.float32),
+      "flows": rng.randn(7, n_rays, 2).astype(np.float32),
+      "flow_masks": flow_masks,
   })
   return mono

@@ -148,7 +148,10 @@ def test_nvidia_train_sampler_and_driver_pieces(tmp_path):
   assert rb["anchor_src_rgbs"].shape[0] == CFG.num_views_anchor
   assert rb["static_src_rgbs"].shape[0] == CFG.num_views_static
   assert "disp" not in rb            # Nvidia scenes carry no disp GT
-  assert rb["flows"].shape == (6, 4, 2)
+  # flows ride in SOURCE-VIEW order (FF_SRC_OFFSETS, 7 views incl. the
+  # unsupervised offset-0 row) so render_flows[v] pairs with flows[v]
+  assert rb["flows"].shape == (7, 4, 2)
+  assert float(rb["flow_masks"][3].sum()) == 0.0   # offset 0 never supervised
 
   model = FFModel(cfg=CFG, num_frames=data.num_frames)
   state, tx = create_ff_train_state(model, config, jax.random.PRNGKey(0))
@@ -157,6 +160,56 @@ def test_nvidia_train_sampler_and_driver_pieces(tmp_path):
   weights = losses_lib.schedule_weights(config, 0)
   _, metrics = step(state, jb, weights, jax.random.PRNGKey(1))
   assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ff_coarse_train_step_trains_coarse_freezes_fine():
+  """Coarse-stage FF training (the run that produces the frozen checkpoint
+  the reference only ships as data): loss finite, coarse groups move, fine
+  groups bit-frozen, mono-loss key layout produced."""
+  from dynibar_tpu.render.render_rays import render_rays_ff_coarse
+  from dynibar_tpu.train.trainer import (compute_ff_coarse_featmaps,
+                                         make_ff_coarse_optimizer,
+                                         make_ff_coarse_train_step)
+
+  config = DynibarConfig(N_samples=CFG.n_samples,
+                         N_importance=CFG.n_importance,
+                         num_basis=CFG.num_basis, lrate_mlp=1e-3,
+                         lrate_feature=1e-3, lrate_decay_steps=100)
+  model = FFModel(cfg=CFG, num_frames=NUM_FRAMES)
+  params = model.init_params(jax.random.PRNGKey(0))
+  rb = {k: jnp.asarray(v) for k, v in synthetic_ff_batch(
+      CFG, n_rays=4, h=32, w=48, num_frames=NUM_FRAMES, ref_idx=10).items()}
+  weights = losses_lib.schedule_weights(config, 0)
+
+  fm = compute_ff_coarse_featmaps(model, params, rb)
+  ret = render_rays_ff_coarse(model, params, rb, fm, CFG, det=False,
+                              is_train=True, rng=jax.random.PRNGKey(2))
+  for key in ("outputs_coarse_ref", "outputs_coarse_ref_dy",
+              "outputs_coarse_anchor", "outputs_coarse_anchor_dy"):
+    assert key in ret and ret[key] is not None
+  m = losses_lib.compute_mono_losses(ret, rb, weights)
+  assert np.isfinite(float(m["loss"]))
+
+  tx = make_ff_coarse_optimizer(config)
+  from dynibar_tpu.train.trainer import TrainState
+  state = TrainState(params=params, opt_state=tx.init(params),
+                     step=jnp.zeros((), jnp.int32))
+  step = make_ff_coarse_train_step(model, tx, CFG, donate=False)
+  state2, metrics = step(state, rb, weights, jax.random.PRNGKey(3))
+  assert np.isfinite(float(metrics["loss"]))
+
+  fine_keys = ("net_fine_st", "net_fine_dy", "feature_net_fine",
+               "motion_mlp_fine", "traj_basis_fine")
+  for key in fine_keys:
+    for a, b in zip(jax.tree_util.tree_leaves(state.params[key]),
+                    jax.tree_util.tree_leaves(state2.params[key])):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  moved = 0.0
+  for key in FF_COARSE_KEYS:
+    for a, b in zip(jax.tree_util.tree_leaves(state.params[key]),
+                    jax.tree_util.tree_leaves(state2.params[key])):
+      moved += float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+  assert moved > 0.0
 
 
 def test_load_coarse_params_from_pth(tmp_path):
