@@ -201,6 +201,12 @@ class FFModel:
 
   cfg: RenderSettings
   num_frames: int
+  # rematerialize aggregator activations in the backward pass (see
+  # MonoModel.remat): used by the fine-stage/coarse-stage FF trainers
+  remat: bool = False
+
+  def _maybe_remat(self, fn):
+    return jax.checkpoint(fn) if self.remat else fn
 
   def _nets(self, fine: bool):
     n_total = self.cfg.n_samples + (self.cfg.n_importance if fine else 0)
@@ -251,11 +257,13 @@ class FFModel:
 
   def apply_dy(self, params, stage, *args):
     _, net_dy = self._nets(stage == "fine")
-    return net_dy.apply({"params": params[f"net_{stage}_dy"]}, *args)
+    fn = lambda p, *a: net_dy.apply({"params": p}, *a)  # noqa: E731
+    return self._maybe_remat(fn)(params[f"net_{stage}_dy"], *args)
 
   def apply_st(self, params, stage, *args):
     net_st, _ = self._nets(stage == "fine")
-    return net_st.apply({"params": params[f"net_{stage}_st"]}, *args)
+    fn = lambda p, *a: net_st.apply({"params": p}, *a)  # noqa: E731
+    return self._maybe_remat(fn)(params[f"net_{stage}_st"], *args)
 
   def apply_dy_fused(self, params, stage, *args):
     from dynibar_tpu.ops.pallas_agg import fused_dynamic_aggregator

@@ -458,3 +458,76 @@ def render_rays_mv(
   ret["outputs_fine_anchor"] = outputs_anchor
   ret["outputs_fine_anchor_dy"] = outputs_anchor_dy
   return ret
+
+
+def render_rays_ff_coarse(
+    model,
+    params,
+    rb: Dict[str, Any],
+    coarse_featmaps,
+    cfg: RenderSettings,
+    *,
+    det: bool = False,
+    is_train: bool = True,
+    rng: Optional[jax.Array] = None,
+    cov_out: Optional[list] = None,
+    needs_grad: Optional[bool] = None,
+) -> Dict[str, Any]:
+  """Standalone COARSE-stage forward of the forward-facing model, for
+  training the frozen-coarse checkpoint DynibarFF's fine stage loads.
+
+  The reference ships per-scene coarse checkpoints (``coarse_dir``,
+  model.py:102) but no code that produces them; its fine-stage eval routing
+  (eval_nvidia.py:335-358: coarse dynamic <- feature_net coarse channels,
+  coarse static <- feature_net FINE channels) rules out grafting a
+  mono-trained coarse stage (the mono model routes static features through
+  its separate feature_net_st, so feature_net's fine channels would be
+  untrained).  This program trains the FF coarse nets directly: a
+  single-stage render structured like render_rays_mono's (uniform samples,
+  dual composite, mono-style cross-time anchor branch at the coarse nets),
+  returning the key layout compute_mono_losses consumes.
+  """
+  w = cfg.traj_window
+  if needs_grad is None:
+    needs_grad = is_train
+  input_ray_dir = _normalize(rb["ray_d"])
+  key0 = None
+  if rng is not None:
+    key0, rng = jax.random.split(rng)
+  pts_ref, z_vals, s_vals = sampling.sample_along_ray(
+      rb["ray_o"], rb["ray_d"], rb["depth_range"], cfg.n_samples,
+      inv_uniform=cfg.inv_uniform, det=det, rng=key0)
+
+  (outputs_ref, outputs_ref_dy, traj_ref, pts_seq, raw_st,
+   pixel_mask_st) = _render_stage_ff(
+      model, params, rb, coarse_featmaps, cfg, "coarse", pts_ref, z_vals,
+      s_vals, input_ray_dir, model.num_frames, cov_out=cov_out,
+      needs_grad=needs_grad)
+
+  outputs_ref["render_flows"] = comp.render_optical_flow(
+      outputs_ref["weights"], pts_seq, rb["src_cameras"], rb["uv_grid"])
+  outputs_ref["s_vals"] = s_vals
+  outputs_ref["exp_sf"] = jax.lax.stop_gradient(
+      motion.expected_scene_flow(outputs_ref["weights"], traj_ref, 2, w))
+
+  ret: Dict[str, Any] = {
+      "outputs_coarse_ref": outputs_ref,
+      "outputs_coarse_ref_dy": outputs_ref_dy,
+  }
+  if not is_train:
+    return ret
+
+  apply_dy, _ = _agg_fns(model, cfg, needs_grad)
+  outputs_anchor, outputs_anchor_dy = _cross_time_branch(
+      rb, cfg,
+      pts_ref=pts_ref, traj_ref=traj_ref, z_vals=z_vals, raw_st=raw_st,
+      outputs_ref=outputs_ref, outputs_ref_dy=outputs_ref_dy,
+      pixel_mask_st=pixel_mask_st, input_ray_dir=input_ray_dir,
+      apply_dy=lambda *a: apply_dy(params, "coarse", *a),
+      apply_motion=lambda x: model.apply_motion(params, "coarse", x),
+      basis=params["traj_basis"],
+      anchor_featmaps=coarse_featmaps[1],
+      strip=_strip_arg(cfg, needs_grad))
+  ret["outputs_coarse_anchor"] = outputs_anchor
+  ret["outputs_coarse_anchor_dy"] = outputs_anchor_dy
+  return ret
