@@ -67,9 +67,9 @@ def main():
   print(f"# backend: {jax.default_backend()} x{n_dev}", flush=True)
 
   # DYNIBAR_BENCH_EVAL=0 skips the eval rays/s + frame sections and reports
-  # the train step alone — the training-kernel sweeps
-  # (scripts/sweep_round2_tpu.sh) only change backward kernels, so
-  # re-measuring the unchanged eval path each entry wastes minutes
+  # the train step alone — training-kernel sweeps only change backward
+  # kernels, so re-measuring the unchanged eval path each entry wastes
+  # minutes
   if os.environ.get("DYNIBAR_BENCH_EVAL", "1") == "0":
     tstats = _train_step_seconds()
     print(json.dumps({"metric": "mono_train_sec_per_step",
@@ -90,6 +90,9 @@ def main():
   strip = os.environ.get("DYNIBAR_BENCH_STRIP", "pallas")
   # fused Pallas aggregator kernels (ops/pallas_agg.py); default on
   fused_agg = os.environ.get("DYNIBAR_BENCH_FUSED_AGG", "1") == "1"
+  # layout-stable sampler->aggregator handoff (cfg.fused_handoff);
+  # DYNIBAR_BENCH_HANDOFF=0 A/Bs the [R,S,V,3+C] interchange it replaces
+  handoff = os.environ.get("DYNIBAR_BENCH_HANDOFF", "1") == "1"
 
   cfg = RenderSettings(
       n_samples=64, n_importance=64, num_views_dy=7, num_views_anchor=0,
@@ -97,7 +100,7 @@ def main():
       compute_dtype=compute_dtype, fused_rgb_sampling=fused,
       strip_sampling=strip != "0",
       strip_impl="xla" if strip == "xla" else "pallas",
-      fused_aggregators=fused_agg)
+      fused_aggregators=fused_agg, fused_handoff=handoff)
   model = FFModel(cfg=cfg, num_frames=48)
   params = model.init_params(jax.random.PRNGKey(0))
   # scanline rays: the layout full-image eval feeds the render core
@@ -248,21 +251,18 @@ def _train_step_seconds(iters: int = 10) -> dict:
   from dynibar_tpu.train import trainer as trainer_lib
 
   rng = jax.random.PRNGKey(0)
-  # DYNIBAR_BENCH_TRAIN_STRIP=1 measures the opt-in strip_train variant
-  # (gatherless Pallas sampler forward + gather-VJP backward on
-  # scanline-coherent rays; see DynibarConfig.strip_train)
-  strip_train = os.environ.get("DYNIBAR_BENCH_TRAIN_STRIP", "0") == "1"
+  # (a DYNIBAR_BENCH_TRAIN_STRIP strip_train variant measured -11% here
+  # in round 3 but was removed in round 4 after failing convergence —
+  # DESIGN.md §3)
   config = DynibarConfig(
       N_rand=3072, N_samples=64, N_importance=0, num_source_views=7,
       num_vv=3, num_basis=6, compute_dtype="bfloat16", use_remat=True,
-      fused_aggregators=True, strip_sampling=strip_train,
-      strip_train=strip_train, coherent_ray_segment=16 if strip_train else 0)
+      fused_aggregators=True)
   cfg = config.render_settings("mono")
   model = MonoModel(cfg=cfg, num_frames=48, remat=True)
   state, tx = trainer_lib.create_train_state(model, config, rng)
   rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
-      cfg, n_rays=3072, h=288, w=512, num_frames=48,
-      scanline=strip_train).items()}
+      cfg, n_rays=3072, h=288, w=512, num_frames=48).items()}
   weights = losses_lib.schedule_weights(config, epoch=2)
 
   @jax.jit

@@ -146,18 +146,14 @@ class DynibarConfig:
   strip_cols: int = 64
   strip_impl: str = "pallas"
   strip_auto_exact: bool = True
-  # opt-in training-speed mode: route the TRAINING forward through the
-  # gatherless Pallas sampler as well (backward keeps the gather path's
-  # corner-folded custom VJP,
-  # ops/pallas_sample.pallas_bilinear_sample_views_diff).  Requires
-  # coherent_ray_segment > 0: random rays collapse the per-group epipolar
-  # window coverage.  Off by default.
-  strip_train: bool = False
-  # scanline-coherent ray sampling: draw N_rand/segment random disjoint
-  # contiguous scanline segments instead of N_rand independent pixels
-  # (0 = off).  16-32 keeps each Pallas sampler group's y-window tight.
-  # Changes the sampling distribution vs the reference's uniform pixels.
-  coherent_ray_segment: int = 0
+  # NOTE a former `strip_train` mode (Pallas sampler in the TRAINING
+  # forward + scanline-coherent `coherent_ray_segment` batches) was
+  # REMOVED in round 4 after failing convergence at the matched protocol:
+  # the window silently censors exactly the samples carrying the largest
+  # motion-field restoring gradients (measured 430 vs 2.2 |g_motion| at
+  # the divergence onset) and coherent rays alone cost ~10 dB at 3k steps
+  # (+2.9 vs +12.6 novel-view rise).  Full post-mortem: DESIGN.md §3,
+  # CONVERGENCE.md.  Training always uses the exact gather + custom VJP.
   # fused Pallas aggregator kernels for eval/render (ops/pallas_agg.py).
   # Only takes effect with compute_dtype="bfloat16" and when the caller
   # does not differentiate through the render (_agg_fns gates on gradient
@@ -175,6 +171,9 @@ class DynibarConfig:
   # the reference mono shape (V=9/10): split 39/41 ms per fwd+bwd call vs
   # 67/72 ms chunked flax -> default on.
   fused_bwd_impl: str = "pallas_split"
+  # layout-stable sampler->aggregator handoff for eval/render (see
+  # RenderSettings.fused_handoff)
+  fused_handoff: bool = True
   # backward for the STATIC aggregator: "flax" or "pallas_split".  The
   # V=14 trunk kernel only fits the 16 MB scoped-vmem limit at a 128-lane
   # tile, but still beats the chunked flax backward in the full step:
@@ -257,12 +256,12 @@ class DynibarConfig:
         strip_rows=self.strip_rows,
         strip_cols=self.strip_cols,
         strip_impl=self.strip_impl,
-        strip_train=self.strip_train,
         strip_auto_exact=self.strip_auto_exact,
         fused_aggregators=self.fused_aggregators,
         fused_aggregators_train=self.fused_aggregators_train,
         fused_bwd_impl=self.fused_bwd_impl,
         fused_st_bwd_impl=self.fused_st_bwd_impl,
+        fused_handoff=self.fused_handoff,
     )
 
 
@@ -319,9 +318,6 @@ class RenderSettings:
   # reports a coverage miss through the exact gather program, making
   # strip_sampling bit-correct end to end (render/render_image.py)
   strip_auto_exact: bool = True
-  # opt-in: keep the strip/Pallas sampler in GRADIENT-bearing steps (see
-  # DynibarConfig.strip_train / coherent_ray_segment)
-  strip_train: bool = False
   # fused Pallas aggregator kernels (ops/pallas_agg.py): the whole
   # view-aggregation network (PEs, trunk, ray transformer, heads) runs
   # VMEM-resident per ray tile.  Forward-only — eval/render paths use it;
@@ -339,6 +335,14 @@ class RenderSettings:
   fused_bwd_impl: str = "pallas_split"
   # static-aggregator training backward: "flax" or "pallas_split"
   fused_st_bwd_impl: str = "pallas_split"
+  # layout-stable sampler->aggregator handoff (eval only): keep the Pallas
+  # sampler's native channel-major [V, C, N] output all the way into the
+  # fused aggregators' feature-major tiles, skipping the [R,S,V,3+C]
+  # transpose/concat round-trips between the two kernels
+  # (core/projection.compute_with_motions_cm).  Effective only when the
+  # Pallas strip sampler AND fused bf16 aggregators are active and the
+  # step carries no gradients.
+  fused_handoff: bool = True
 
   @property
   def num_offsets(self) -> int:

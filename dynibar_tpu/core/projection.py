@@ -7,14 +7,14 @@ gather lives in :mod:`dynibar_tpu.ops.grid_sample`.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from dynibar_tpu.core import cameras as cam
 from dynibar_tpu.ops.grid_sample import bilinear_sample_views
-from dynibar_tpu.ops.pallas_sample import pallas_bilinear_sample_views_diff
+from dynibar_tpu.ops.pallas_sample import pallas_bilinear_sample_views
 from dynibar_tpu.ops.strip_sample import strip_sample_views
 
 
@@ -81,6 +81,68 @@ def ray_angle_features(
   return jnp.concatenate([diff_dir, dot], axis=-1)               # [V,R,S,4]
 
 
+def compute_with_motions_cm(
+    xyz_st: jnp.ndarray,        # [R, S, 3]
+    xyz: jnp.ndarray,           # [V, R, S, 3]
+    query_camera: jnp.ndarray,  # [34]
+    src_rgbs: jnp.ndarray,      # [V, H, W, 3]
+    src_cameras: jnp.ndarray,   # [V, 34]
+    featmaps: jnp.ndarray,      # [V, Hf, Wf, C]
+    view_valid: jnp.ndarray,    # [V] 0/1 padding mask
+    fused_rgb: bool = False,
+    cov_out: Optional[list] = None,
+) -> Dict[str, jnp.ndarray]:
+  """CHANNEL-MAJOR twin of :func:`compute_with_motions` for the fused
+  eval path (Pallas sampler -> fused Pallas aggregators).
+
+  The windowed sampler's native output is [V, C, N] (N = R*S, ray-major)
+  and the fused aggregators consume feature-major [V, C', N] tiles of the
+  identical point ordering — the default path's [R,S,V,3+C] interchange
+  forces ~6 full-tensor transposes/concats between the two kernels.  This
+  path keeps everything channel-major: the only materializations left are
+  one axis-1 concat per aggregator input and the (small, 4-channel)
+  ray-diff relayout.  Eval-only (forward semantics identical; the
+  training path keeps the exact gather + [R,S,V,·] interchange).
+
+  Returns dict: rgbfeat_cm [V, 3+C, N] (or [V, C, N] under fused_rgb),
+  raydiff_cm [V, 4, N], mask_cm [V, 1, N] (float), pixel_mask [R, S].
+  """
+  from dynibar_tpu.ops.pallas_sample import pallas_bilinear_sample_views
+  v, r, s, _ = xyz.shape
+  h = src_cameras[0, 0]
+  w = src_cameras[0, 1]
+  pixel_xy, in_front = project_points(xyz, src_cameras)          # [V,R,S,2]
+  resize = jnp.stack([w - 1.0, h - 1.0])
+  grid = 2.0 * pixel_xy / resize - 1.0
+
+  interp = jax.default_backend() != "tpu"
+  feats_cm, covered = pallas_bilinear_sample_views(
+      featmaps, grid, interpret=interp, layout="cm")             # [V,C,N]
+  if fused_rgb:
+    rgbfeat_cm = feats_cm
+  else:
+    rgbs_cm, cov_rgb = pallas_bilinear_sample_views(
+        src_rgbs, grid, interpret=interp, layout="cm")           # [V,3,N]
+    covered = covered & cov_rgb
+    rgbfeat_cm = jnp.concatenate([rgbs_cm, feats_cm], axis=1)
+
+  mask = (inbound_mask(pixel_xy, h, w) & in_front)               # [V,R,S]
+  mask = mask & (view_valid[:, None, None] > 0)
+  if cov_out is not None:
+    cov_out.append(jnp.all(covered | ~mask))
+  mask = mask & covered
+  mask_cm = mask.reshape(v, 1, r * s).astype(rgbfeat_cm.dtype)
+
+  ray_diff = jax.lax.stop_gradient(
+      ray_angle_features(xyz_st, xyz, query_camera, src_cameras))
+  raydiff_cm = jnp.transpose(ray_diff, (0, 3, 1, 2)).reshape(v, 4, r * s)
+
+  pixel_mask = jnp.sum(mask_cm[:, 0, :].astype(jnp.float32),
+                       axis=0).reshape(r, s) > 1
+  return {"rgbfeat_cm": rgbfeat_cm, "raydiff_cm": raydiff_cm,
+          "mask_cm": mask_cm, "pixel_mask": pixel_mask}
+
+
 def compute_with_motions(
     xyz_st: jnp.ndarray,        # [R, S, 3]
     xyz: jnp.ndarray,           # [V, R, S, 3]
@@ -132,17 +194,15 @@ def compute_with_motions(
   if strip is not None:
     if strip_impl == "pallas":
       # interpret mode keeps the CPU test mesh working; Mosaic compiles on
-      # real TPUs only.  The _diff wrapper is primal-identical to the plain
-      # kernel and only adds the gather-path VJP when differentiated
-      # (strip_train mode); featmaps carry parameter gradients, source
-      # images are data (grid gradient only).
+      # real TPUs only.  Eval-only (see _strip_arg): gradient-bearing
+      # steps always take the exact gather below.
       interp = jax.default_backend() != "tpu"
-      feats, covered = pallas_bilinear_sample_views_diff(
-          featmaps, grid, 0, 0, interp, True)
+      feats, covered = pallas_bilinear_sample_views(
+          featmaps, grid, interpret=interp)
       if not fused_rgb:
         # full-res source colors through the same kernel (32-row windows)
-        rgbs, cov_rgb = pallas_bilinear_sample_views_diff(
-            src_rgbs, grid, 0, 0, interp, False)
+        rgbs, cov_rgb = pallas_bilinear_sample_views(
+            src_rgbs, grid, interpret=interp)
         covered = covered & cov_rgb
     else:
       feats, covered = strip_sample_views(featmaps, grid,
@@ -210,3 +270,18 @@ def src_plucker(pts: jnp.ndarray, src_cameras: jnp.ndarray) -> jnp.ndarray:
   moment = jnp.cross(o, ray)
   out = jnp.concatenate([ray, moment], axis=-1)                  # [V,R,S,6]
   return jnp.transpose(out, (1, 2, 0, 3))
+
+
+def src_plucker_cm(pts: jnp.ndarray, src_cameras: jnp.ndarray) -> jnp.ndarray:
+  """Channel-major twin of :func:`src_plucker`: [V, 6, R*S] for the fused
+  aggregators' feature-major tiles (compute_with_motions_cm handoff)."""
+  _, _, _, c2w = cam.split_camera(src_cameras)
+  origins = c2w[:, :3, 3]                                        # [V,3]
+  ray = pts[None] - origins[:, None, None, :]                    # [V,R,S,3]
+  ray = ray / jnp.maximum(
+      jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-12)
+  o = jnp.broadcast_to(origins[:, None, None, :], ray.shape)
+  moment = jnp.cross(o, ray)
+  out = jnp.concatenate([ray, moment], axis=-1)                  # [V,R,S,6]
+  v, r, s, _ = out.shape
+  return jnp.transpose(out, (0, 3, 1, 2)).reshape(v, 6, r * s)

@@ -131,18 +131,18 @@ class MonoModel:
     fn = lambda p, *a: self.net_coarse_st.apply({"params": p}, *a)
     return self._maybe_remat(fn)(params["net_coarse_st"], *args)
 
-  def apply_dy_fused(self, params, *args):
+  def apply_dy_fused(self, params, *args, **kw):
     from dynibar_tpu.ops.pallas_agg import fused_dynamic_aggregator
     return fused_dynamic_aggregator(
         params["net_coarse_dy"], *args, shift=self.dy_shift,
-        n_samples=self.cfg.n_samples, interpret=_pallas_interpret())
+        n_samples=self.cfg.n_samples, interpret=_pallas_interpret(), **kw)
 
-  def apply_st_fused(self, params, *args):
+  def apply_st_fused(self, params, *args, **kw):
     from dynibar_tpu.ops.pallas_agg import fused_static_aggregator
     return fused_static_aggregator(
         params["net_coarse_st"], *args,
         anti_alias_pooling=self.cfg.anti_alias_pooling,
-        mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret())
+        mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret(), **kw)
 
   # differentiable fused paths: Pallas forward, flax-derived backward
   # (ops/pallas_agg.attach_flax_grad) — used by training when
@@ -265,20 +265,20 @@ class FFModel:
     fn = lambda p, *a: net_st.apply({"params": p}, *a)  # noqa: E731
     return self._maybe_remat(fn)(params[f"net_{stage}_st"], *args)
 
-  def apply_dy_fused(self, params, stage, *args):
+  def apply_dy_fused(self, params, stage, *args, **kw):
     from dynibar_tpu.ops.pallas_agg import fused_dynamic_aggregator
     n_total = self.cfg.n_samples + (self.cfg.n_importance
                                     if stage == "fine" else 0)
     return fused_dynamic_aggregator(
         params[f"net_{stage}_dy"], *args, shift=0.0, n_samples=n_total,
-        interpret=_pallas_interpret())
+        interpret=_pallas_interpret(), **kw)
 
-  def apply_st_fused(self, params, stage, *args):
+  def apply_st_fused(self, params, stage, *args, **kw):
     from dynibar_tpu.ops.pallas_agg import fused_static_aggregator
     return fused_static_aggregator(
         params[f"net_{stage}_st"], *args,
         anti_alias_pooling=self.cfg.anti_alias_pooling,
-        mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret())
+        mask_rgb=self.cfg.mask_rgb, interpret=_pallas_interpret(), **kw)
 
   def apply_dy_fused_diff(self, params, stage, *args):
     import functools

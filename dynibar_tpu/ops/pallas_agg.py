@@ -777,15 +777,26 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
                             anti_alias_pooling: bool = True,
                             mask_rgb: bool = True,
                             interpret: bool = False,
-                            pallas_bwd: bool = False) -> jnp.ndarray:
+                            pallas_bwd: bool = False,
+                            pv_cm=None, src_pl_cm=None,
+                            shape=None) -> jnp.ndarray:
   """Drop-in fused forward of models.aggregators.StaticAggregator.
 
   Same array arguments as the flax module's __call__ (glb_ray_dir accepted
   for parity, unused — reference never reads it); returns raw [R,S,4].
+
+  pv_cm: optional pre-packed per-view input [V, f+8, N] (channels:
+  rgb_feat, ray_diff, mask) in the kernel's native feature-major layout
+  (see fused_dynamic_aggregator); src_pl_cm the matching [V, 6, N]
+  source-Plücker relayout; `shape`=(r, s, v, 3+f).
   """
   del glb_ray_dir
   from dynibar_tpu.core.posenc import periodic_embed
-  r, s, v, cfull = rgb_feat.shape
+  if pv_cm is not None:
+    assert not pallas_bwd, "pv_cm is an eval-path (forward-only) handoff"
+    r, s, v, cfull = shape
+  else:
+    r, s, v, cfull = rgb_feat.shape
   f = cfull - 3
   g, r_pad, n_t = _tile_layout(
       r, s,
@@ -800,11 +811,18 @@ def fused_static_aggregator(p: Dict[str, Any], pts, ref_pl, src_pl,
   reffeat = jnp.broadcast_to(reffeat[:, None, :], (r, s, f + 3))
   reffeat = _point_major(reffeat.astype(jnp.bfloat16), r_pad)   # [35,N]
 
-  pv = jnp.concatenate(
-      [rgb_feat.astype(jnp.bfloat16), ray_diff.astype(jnp.bfloat16),
-       mask.astype(jnp.bfloat16)], axis=-1)                     # [R,S,V,f+8]
-  pv = _to_feature_major(pv, r_pad)
-  srcpl = _to_feature_major(src_pl.astype(jnp.float32), r_pad)
+  if pv_cm is not None:
+    pv = pv_cm.astype(jnp.bfloat16)
+    srcpl = src_pl_cm.astype(jnp.float32)
+    if r_pad:
+      pv = jnp.pad(pv, ((0, 0), (0, 0), (0, r_pad * s)))
+      srcpl = jnp.pad(srcpl, ((0, 0), (0, 0), (0, r_pad * s)))
+  else:
+    pv = jnp.concatenate(
+        [rgb_feat.astype(jnp.bfloat16), ray_diff.astype(jnp.bfloat16),
+         mask.astype(jnp.bfloat16)], axis=-1)                   # [R,S,V,f+8]
+    pv = _to_feature_major(pv, r_pad)
+    srcpl = _to_feature_major(src_pl.astype(jnp.float32), r_pad)
   pp = _point_major(pts.astype(jnp.float32), r_pad)             # [3,N]
   s_par = jnp.asarray(p["s"] if anti_alias_pooling else 0.0,
                       jnp.float32).reshape(1, 1)
@@ -1123,7 +1141,8 @@ def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
                              ray_diff, time_diff, mask, time, *,
                              shift: float = 0.0, n_samples: int = 64,
                              interpret: bool = False,
-                             pallas_bwd: bool = False) -> jnp.ndarray:
+                             pallas_bwd: bool = False,
+                             pv_cm=None, shape=None) -> jnp.ndarray:
   """Drop-in fused forward of models.aggregators.DynamicAggregator.
 
   Same array arguments as the flax module's __call__ (ray_diff/time_diff
@@ -1131,10 +1150,20 @@ def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
   raw [R,S,4].  pallas_bwd=True makes it differentiable via the
   hand-written single-kernel backward; pallas_bwd="split" via the
   two-kernel ray/trunk split backward (both in ops/pallas_agg_bwd.py).
+
+  pv_cm: optional pre-packed per-view input [V, f+4, N] (channels:
+  rgb_feat then mask) in the kernel's native feature-major layout —
+  the layout-stable handoff from the channel-major sampler
+  (core/projection.compute_with_motions_cm).  With it, rgb_feat/mask may
+  be None and `shape`=(r, s, v, 3+f) supplies the dimensions.
   """
   del ray_diff, time_diff
   from dynibar_tpu.core.posenc import periodic_embed
-  r, s, v, cfull = rgb_feat.shape
+  if pv_cm is not None:
+    assert not pallas_bwd, "pv_cm is an eval-path (forward-only) handoff"
+    r, s, v, cfull = shape
+  else:
+    r, s, v, cfull = rgb_feat.shape
   f = cfull - 3
   if pallas_bwd == "split":
     diff_target = _N_TARGET_SPLIT_FWD
@@ -1164,9 +1193,16 @@ def fused_dynamic_aggregator(p: Dict[str, Any], pts, rgb_feat, glb_ray_dir,
   pe_tile = jnp.asarray(sample_axis_posenc(128, n_samples)[:s].T)
   pe_tile = jnp.tile(pe_tile, (1, n_t // s))                    # [128,n_t]
 
-  pv = jnp.concatenate([rgb_feat.astype(jnp.bfloat16),
-                        mask.astype(jnp.bfloat16)], axis=-1)
-  pv = _to_feature_major(pv, r_pad)                             # [V,f+4,N]
+  if pv_cm is not None:
+    pv = pv_cm.astype(jnp.bfloat16)
+    if r_pad:
+      # trailing-axis pad: contiguous, layout-preserving (padded rays are
+      # zeros -> mask 0, same as _to_feature_major's row padding)
+      pv = jnp.pad(pv, ((0, 0), (0, 0), (0, r_pad * s)))
+  else:
+    pv = jnp.concatenate([rgb_feat.astype(jnp.bfloat16),
+                          mask.astype(jnp.bfloat16)], axis=-1)
+    pv = _to_feature_major(pv, r_pad)                           # [V,f+4,N]
   pp = _point_major(pts.astype(jnp.float32), r_pad)
 
   ws = (_pooling_ws(p) + _attn_ws(p) + _mlp_ws(p, "ref_pts_fc")

@@ -131,10 +131,9 @@ def window_prep(grid: jnp.ndarray, h: int, w: int, dtype,
                 group: int = 0, blk: int = 0) -> dict:
   """Per-point packed fields + the window-coverage predicate.
 
-  Shared by the kernel launcher and by coverage diagnostics
-  (scripts/strip_coverage_probe.py): the `covered` it returns is exactly
-  the mask the sampler hands back, so coverage of a candidate
-  (group, blk) pairing can be measured without running the kernel.
+  Factored out of the kernel launcher so coverage of a candidate
+  (group, blk) pairing can be measured without running the kernel — the
+  `covered` it returns is exactly the mask the sampler hands back.
   """
   v, r = grid.shape[0], grid.shape[1]
   s = grid.shape[2]
@@ -197,7 +196,7 @@ def window_prep(grid: jnp.ndarray, h: int, w: int, dtype,
 
 def pallas_bilinear_sample_views(
     featmaps: jnp.ndarray, grid: jnp.ndarray, group: int = 0,
-    blk: int = 0, interpret: bool = False
+    blk: int = 0, interpret: bool = False, layout: str = "rsvc"
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
   """Sample featmaps [V,H,W,C] at grid [V,R,S,2] (normalized, (x,y)).
 
@@ -209,7 +208,12 @@ def pallas_bilinear_sample_views(
   coverage stays comparable across resolutions; blk*ceil(C/8)*8 must be
   a 128-multiple.
 
-  Returns (vals [V,R,S,C] in featmap dtype, covered [V,R,S] bool).
+  layout="rsvc" (default): returns (vals [V,R,S,C], covered [V,R,S]).
+  layout="cm": returns the kernel's NATIVE channel-major output
+  ([V, C, R*S], point index = ray*S + sample) without the transpose —
+  the layout-stable handoff into the fused aggregators (their feature-
+  major [C, N] tiles use the identical point ordering), eliminating the
+  [R,S,V,C] round-trip between the two kernels.
   """
   v, h, w, c = featmaps.shape
   s = grid.shape[2]
@@ -253,66 +257,18 @@ def pallas_bilinear_sample_views(
       interpret=interpret,
   )(pk, fmt, msum)
 
+  if layout == "cm":
+    # contiguous prefix slice (cheap) drops the ray padding
+    return out[:, :, :r * s], covered[:, :r]
   vals = jnp.transpose(out, (0, 2, 1)).reshape(v, rp, s, c)[:, :r]
   return vals, covered[:, :r]
 
 
 # --------------------------------------------------------------------------
-# differentiable wrapper: Pallas forward, gather-VJP backward
-# --------------------------------------------------------------------------
-#
-# Training keeps the per-point-gather sampler because its custom VJP
-# (ops/grid_sample.py: corner-folded one-hot-matmul featmap gradient +
-# closed-form grid gradient) is what makes the backward fast — but its
-# FORWARD is still descriptor-bound.  This wrapper runs the gatherless
-# Pallas kernel as the primal and reuses the gather path's backward
-# functions for the cotangents, which is exact for covered samples
-# (the kernel is bit-identical to grid_sample there) and zero for
-# uncovered ones (their cotangents are zeroed: the caller folds uncovered
-# samples out through the validity mask, so they carry no supervision).
-#
-# Only worth using when training rays are scanline-coherent (see
-# DynibarConfig.coherent_ray_segment); random rays make the per-group
-# epipolar y-window assumption fail and coverage collapses.
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def pallas_bilinear_sample_views_diff(
-    featmaps: jnp.ndarray, grid: jnp.ndarray, group: int = 0,
-    blk: int = 0, interpret: bool = False, image_grad: bool = True
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """Differentiable twin of :func:`pallas_bilinear_sample_views`.
-
-  Same primal (and return contract); gradients flow to `featmaps` (unless
-  image_grad=False — source images are data) and to `grid` (the
-  photometric path into the motion-trajectory field).
-  """
-  return pallas_bilinear_sample_views(featmaps, grid, group=group, blk=blk,
-                                      interpret=interpret)
-
-
-def _pbsv_fwd(featmaps, grid, group, blk, interpret, image_grad):
-  vals, covered = pallas_bilinear_sample_views(
-      featmaps, grid, group=group, blk=blk, interpret=interpret)
-  return (vals, covered), (featmaps, grid, covered)
-
-
-def _pbsv_bwd(group, blk, interpret, image_grad, res, cot):
-  del group, blk, interpret
-  from dynibar_tpu.ops.grid_sample import _bsd_bwd
-  featmaps, grid, covered = res
-  cot_vals, _ = cot                       # covered is bool: no cotangent
-  v, r, s, c = cot_vals.shape
-  # uncovered samples' primal does not follow grid_sample semantics; their
-  # cotangents are zero by construction downstream (validity-masked), but
-  # zero them here too so the gradient is exactly the primal's
-  cot_flat = (cot_vals * covered[..., None].astype(cot_vals.dtype)
-              ).reshape(v, r * s, c)
-  grid_flat = grid.reshape(v, r * s, 2)
-  d_fm, d_grid = jax.vmap(
-      lambda img, g, ct: _bsd_bwd(image_grad, (img, g), ct))(
-          featmaps, grid_flat, cot_flat)
-  return d_fm, d_grid.reshape(grid.shape)
-
-
-pallas_bilinear_sample_views_diff.defvjp(_pbsv_fwd, _pbsv_bwd)
+# NOTE: a differentiable wrapper (`pallas_bilinear_sample_views_diff`,
+# Pallas primal + gather-VJP backward) lived here until round 4, backing
+# the removed `strip_train` mode.  It was deleted after the convergence
+# post-mortem (DESIGN.md §3): masking uncovered samples out of the
+# aggregation silently censors exactly the samples carrying the largest
+# motion-field restoring gradients, and the motion field diverges.
+# Training always uses ops/grid_sample.py's exact gather + custom VJP.

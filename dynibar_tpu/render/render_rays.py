@@ -75,16 +75,49 @@ def _agg_fns(model, cfg: RenderSettings, needs_grad: bool):
   return model.apply_dy, model.apply_st
 
 
+def _cm_handoff(cfg: RenderSettings, needs_grad: bool) -> bool:
+  """Layout-stable sampler->aggregator handoff eligibility: Pallas strip
+  sampler + fused bf16 aggregators + no gradients (cfg.fused_handoff).
+  The [R,S,V,3+C] interchange between the two kernels then never
+  materializes — projections go channel-major straight into the
+  aggregators' feature-major tiles (core/projection.compute_with_motions_cm)."""
+  return (cfg.fused_handoff and not needs_grad
+          and cfg.fused_aggregators and cfg.compute_dtype == "bfloat16"
+          and cfg.strip_sampling and cfg.strip_impl == "pallas")
+
+
+def _aggregate_cm(pts, input_ray_dir, time_emb, rb, d_dy, d_st,
+                  apply_dy, apply_st):
+  """Invoke both fused aggregators on channel-major projections.
+
+  apply_dy/apply_st are the models' fused applies, partially applied over
+  params and any stage argument; d_dy/d_st are compute_with_motions_cm
+  outputs."""
+  r, s = pts.shape[:2]
+  v_dy, c_dy = d_dy["rgbfeat_cm"].shape[:2]
+  pv_dy = jnp.concatenate([d_dy["rgbfeat_cm"], d_dy["mask_cm"]], axis=1)
+  raw_dy = apply_dy(pts, None, input_ray_dir, None, None, None, time_emb,
+                    pv_cm=pv_dy, shape=(r, s, v_dy, c_dy))
+  ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
+  src_pl_cm = proj.src_plucker_cm(pts, rb["static_src_cameras"])
+  v_st, c_st = d_st["rgbfeat_cm"].shape[:2]
+  pv_st = jnp.concatenate([d_st["rgbfeat_cm"], d_st["raydiff_cm"],
+                           d_st["mask_cm"]], axis=1)
+  raw_st = apply_st(pts, ref_pl, None, None, input_ray_dir, None, None,
+                    pv_cm=pv_st, src_pl_cm=src_pl_cm,
+                    shape=(r, s, v_st, c_st))
+  return raw_dy, raw_st
+
+
 def _strip_arg(cfg: RenderSettings, needs_grad: bool = False):
   """Epipolar-strip extents for the featmap lookup, or None.
 
-  Gradient-bearing steps keep the per-sample gather by default: its custom
-  VJP (ops/grid_sample.py) is what makes the backward fast, while the strip
-  path's autodiff backward would be a serialized scatter of strips.
-  cfg.strip_train opts training into the Pallas-primal/gather-backward
-  sampler (pallas_bilinear_sample_views_diff) — sound only with
-  scanline-coherent training rays (DynibarConfig.coherent_ray_segment)."""
-  if cfg.strip_sampling and (not needs_grad or cfg.strip_train):
+  Gradient-bearing steps ALWAYS keep the per-sample gather: its custom
+  VJP (ops/grid_sample.py) is what makes the backward fast, and the
+  round-4 post-mortem (DESIGN.md §3) showed the windowed sampler is
+  unsound under gradients — it silently censors exactly the samples
+  carrying the largest motion-field restoring gradients."""
+  if cfg.strip_sampling and not needs_grad:
     return (cfg.strip_rows, cfg.strip_cols)
   return None
 
@@ -156,33 +189,48 @@ def render_rays_mono(
 
   src_imgs, src_feats = _sampling_cast(cfg, rb["src_rgbs"], featmaps[0])
   st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
-  strip = _strip_arg(cfg, needs_grad)
-  rgb_feat_ref, ray_diff_ref, mask_ref = proj.compute_with_motions(
-      pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
-      rb["src_cameras"], src_feats, rb["src_valid"],
-      fused_rgb=cfg.fused_rgb_sampling, strip=strip,
-      strip_impl=cfg.strip_impl, cov_out=cov_out)
-  rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
-      pts_ref, pts_3d_static, rb["camera"], st_imgs,
-      rb["static_src_cameras"], st_feats, rb["static_valid"],
-      fused_rgb=cfg.fused_rgb_sampling, strip=strip,
-      strip_impl=cfg.strip_impl, cov_out=cov_out)
-
-  pixel_mask_ref = jnp.sum(mask_ref[..., 0], axis=2) > 1       # [R,S]
-  pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
-
-  time_diff = jnp.zeros(ray_diff_ref.shape[:3] + (1,))  # unused by the net
-
   apply_dy, apply_st = _agg_fns(model, cfg, needs_grad)
-  raw_dy = apply_dy(
-      params, pts_ref, rgb_feat_ref, input_ray_dir, ray_diff_ref,
-      time_diff, mask_ref, ref_time_emb)                       # [R,S,4]
+  if _cm_handoff(cfg, needs_grad):
+    d_dy = proj.compute_with_motions_cm(
+        pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
+        rb["src_cameras"], src_feats, rb["src_valid"],
+        fused_rgb=cfg.fused_rgb_sampling, cov_out=cov_out)
+    d_st = proj.compute_with_motions_cm(
+        pts_ref, pts_3d_static, rb["camera"], st_imgs,
+        rb["static_src_cameras"], st_feats, rb["static_valid"],
+        fused_rgb=cfg.fused_rgb_sampling, cov_out=cov_out)
+    pixel_mask_ref, pixel_mask_st = d_dy["pixel_mask"], d_st["pixel_mask"]
+    raw_dy, raw_st = _aggregate_cm(
+        pts_ref, input_ray_dir, ref_time_emb, rb, d_dy, d_st,
+        lambda *a, **k: apply_dy(params, *a, **k),
+        lambda *a, **k: apply_st(params, *a, **k))
+  else:
+    strip = _strip_arg(cfg, needs_grad)
+    rgb_feat_ref, ray_diff_ref, mask_ref = proj.compute_with_motions(
+        pts_ref, pts_3d_seq_ref, rb["camera"], src_imgs,
+        rb["src_cameras"], src_feats, rb["src_valid"],
+        fused_rgb=cfg.fused_rgb_sampling, strip=strip,
+        strip_impl=cfg.strip_impl, cov_out=cov_out)
+    rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
+        pts_ref, pts_3d_static, rb["camera"], st_imgs,
+        rb["static_src_cameras"], st_feats, rb["static_valid"],
+        fused_rgb=cfg.fused_rgb_sampling, strip=strip,
+        strip_impl=cfg.strip_impl, cov_out=cov_out)
 
-  ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
-  src_pl = proj.src_plucker(pts_ref, rb["static_src_cameras"])
-  raw_st = apply_st(
-      params, pts_ref, ref_pl, src_pl, rgb_feat_st, input_ray_dir,
-      ray_diff_st, mask_st)
+    pixel_mask_ref = jnp.sum(mask_ref[..., 0], axis=2) > 1     # [R,S]
+    pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
+
+    time_diff = jnp.zeros(ray_diff_ref.shape[:3] + (1,))  # unused by net
+
+    raw_dy = apply_dy(
+        params, pts_ref, rgb_feat_ref, input_ray_dir, ray_diff_ref,
+        time_diff, mask_ref, ref_time_emb)                     # [R,S,4]
+
+    ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
+    src_pl = proj.src_plucker(pts_ref, rb["static_src_cameras"])
+    raw_st = apply_st(
+        params, pts_ref, ref_pl, src_pl, rgb_feat_st, input_ray_dir,
+        ray_diff_st, mask_st)
 
   outputs_ref = comp.composite_dual(raw_dy, raw_st, z_vals,
                                     pixel_mask_ref, pixel_mask_st)
@@ -333,31 +381,46 @@ def _render_stage_ff(model, params, rb, featmaps, cfg, stage, pts, z_vals,
 
   src_imgs, src_feats = _sampling_cast(cfg, rb["src_rgbs"], featmaps[0])
   st_imgs, st_feats = _sampling_cast(cfg, rb["static_src_rgbs"], featmaps[2])
-  strip = _strip_arg(cfg, needs_grad)
-  rgb_feat, ray_diff, mask = proj.compute_with_motions(
-      pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
-      src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling,
-      strip=strip, strip_impl=cfg.strip_impl, cov_out=cov_out)
-  rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
-      pts, pts_static, rb["camera"], st_imgs,
-      rb["static_src_cameras"], st_feats, rb["static_valid"],
-      fused_rgb=cfg.fused_rgb_sampling, strip=strip,
-      strip_impl=cfg.strip_impl, cov_out=cov_out)
-
-  pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1
-  pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
-
-  # normalized time offsets (reference render_ray.py:531-535; unused by the
-  # dynamic net but kept for interface parity)
-  time_diff = jnp.zeros(ray_diff.shape[:3] + (1,))
-
   apply_dy, apply_st = _agg_fns(model, cfg, needs_grad)
-  raw_dy = apply_dy(params, stage, pts, rgb_feat, input_ray_dir,
-                    ray_diff, time_diff, mask, time_emb)
-  ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
-  src_pl = proj.src_plucker(pts, rb["static_src_cameras"])
-  raw_st = apply_st(params, stage, pts, ref_pl, src_pl, rgb_feat_st,
-                    input_ray_dir, ray_diff_st, mask_st)
+  if _cm_handoff(cfg, needs_grad):
+    d_dy = proj.compute_with_motions_cm(
+        pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
+        src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling,
+        cov_out=cov_out)
+    d_st = proj.compute_with_motions_cm(
+        pts, pts_static, rb["camera"], st_imgs,
+        rb["static_src_cameras"], st_feats, rb["static_valid"],
+        fused_rgb=cfg.fused_rgb_sampling, cov_out=cov_out)
+    pixel_mask, pixel_mask_st = d_dy["pixel_mask"], d_st["pixel_mask"]
+    raw_dy, raw_st = _aggregate_cm(
+        pts, input_ray_dir, time_emb, rb, d_dy, d_st,
+        lambda *a, **k: apply_dy(params, stage, *a, **k),
+        lambda *a, **k: apply_st(params, stage, *a, **k))
+  else:
+    strip = _strip_arg(cfg, needs_grad)
+    rgb_feat, ray_diff, mask = proj.compute_with_motions(
+        pts, pts_seq, rb["camera"], src_imgs, rb["src_cameras"],
+        src_feats, rb["src_valid"], fused_rgb=cfg.fused_rgb_sampling,
+        strip=strip, strip_impl=cfg.strip_impl, cov_out=cov_out)
+    rgb_feat_st, ray_diff_st, mask_st = proj.compute_with_motions(
+        pts, pts_static, rb["camera"], st_imgs,
+        rb["static_src_cameras"], st_feats, rb["static_valid"],
+        fused_rgb=cfg.fused_rgb_sampling, strip=strip,
+        strip_impl=cfg.strip_impl, cov_out=cov_out)
+
+    pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1
+    pixel_mask_st = jnp.sum(mask_st[..., 0], axis=2) > 1
+
+    # normalized time offsets (reference render_ray.py:531-535; unused by
+    # the dynamic net but kept for interface parity)
+    time_diff = jnp.zeros(ray_diff.shape[:3] + (1,))
+
+    raw_dy = apply_dy(params, stage, pts, rgb_feat, input_ray_dir,
+                      ray_diff, time_diff, mask, time_emb)
+    ref_pl = proj.ref_plucker(rb["ray_o"], rb["ray_d"])
+    src_pl = proj.src_plucker(pts, rb["static_src_cameras"])
+    raw_st = apply_st(params, stage, pts, ref_pl, src_pl, rgb_feat_st,
+                      input_ray_dir, ray_diff_st, mask_st)
 
   outputs = comp.composite_dual(raw_dy, raw_st, z_vals, pixel_mask,
                                 pixel_mask_st)
