@@ -179,27 +179,12 @@ class MonocularSceneData:
       uu, vv = np.meshgrid(np.arange(bw, w - bw), np.arange(bh, h - bh))
       flat = (vv.reshape(-1) * w + uu.reshape(-1))
       sel = flat[prng.choice(flat.shape[0], size=n_rays, replace=False)]
-    elif getattr(self.config, "coherent_ray_segment", 0) > 0:
-      # scanline-coherent mode (strip_train): contiguous segments keep each
-      # Pallas sampler group's epipolar y-window tight.  Segment starts are
-      # drawn without replacement; rare overlaps between segments (a pixel
-      # appearing twice in the batch) are harmless to the loss averages.
-      seg = int(self.config.coherent_ray_segment)
-      n_seg = max(1, n_rays // seg)
-      # disjoint segments: sorted draws from the slack space, the i-th
-      # start then shifted by i*seg (a uniform sample of non-overlapping
-      # placements)
-      slack = max(h * w - n_seg * seg + 1, 1)
-      starts = np.sort(prng.choice(slack, size=min(n_seg, slack),
-                                   replace=False))
-      starts = starts + np.arange(starts.shape[0]) * seg
-      sel = (starts[:, None] + np.arange(seg)[None]).reshape(-1)[:n_rays]
-      if sel.shape[0] < n_rays:                      # n_rays % seg != 0
-        pool = np.setdiff1d(np.arange(h * w), sel)
-        sel = np.concatenate([
-            sel, prng.choice(pool, size=n_rays - sel.shape[0],
-                             replace=False)])
     else:
+      # uniform pixels, like the reference.  (A scanline-coherent
+      # `coherent_ray_segment` mode lived here until round 4; it was
+      # removed with strip_train after coherent batches alone measured a
+      # ~10 dB novel-view convergence penalty at matched steps —
+      # CONVERGENCE.md, DESIGN.md §3.)
       sel = prng.choice(h * w, size=n_rays, replace=False)
     py, px = np.divmod(sel, w)
     uv = np.stack([px, py], axis=-1).astype(np.float32)

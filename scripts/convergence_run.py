@@ -10,7 +10,6 @@ production defaults (bf16 + fused Pallas aggregators + remat, N_rand=3072,
 64 samples — the same combination bench.py measures).
 
   python scripts/convergence_run.py                 # ~3k steps on the TPU
-  python scripts/convergence_run.py --strip         # strip_train variant
   python scripts/convergence_run.py --quick         # tiny CPU smoke (CI)
 
 Writes <outdir>/convergence_<tag>.json + first/last renders as PNG, and
@@ -41,8 +40,6 @@ def parse_args():
   ap.add_argument("--init_decay_epoch", type=int, default=40)
   ap.add_argument("--outdir", type=str, default="/tmp/dynibar_convergence")
   ap.add_argument("--tag", type=str, default="default")
-  ap.add_argument("--strip", action="store_true",
-                  help="strip_train mode (scanline-coherent ray segments)")
   ap.add_argument("--quick", action="store_true",
                   help="tiny CPU configuration for CI smoke")
   ap.add_argument("--gate_db", type=float, default=8.0,
@@ -87,11 +84,7 @@ def build(args):
         num_source_views=4, num_vv=2, num_basis=4, max_range=8,
         init_decay_epoch=args.init_decay_epoch, chunk_size=1024,
         compute_dtype="float32", use_remat=False, fused_aggregators=False,
-        workers=2, i_print=10, clip_grad_norm=args.clip,
-        # --quick --strip used to silently drop the strip flags, making
-        # the combination test nothing; keep it honest
-        strip_sampling=args.strip, strip_train=args.strip,
-        coherent_ray_segment=16 if args.strip else 0)
+        workers=2, i_print=10, clip_grad_norm=args.clip)
   else:
     config = DynibarConfig(
         folder_path=root, train_scenes=[name], training_height=args.height,
@@ -99,9 +92,7 @@ def build(args):
         num_source_views=7, num_vv=3, num_basis=6, max_range=24,
         init_decay_epoch=args.init_decay_epoch, chunk_size=4608,
         compute_dtype="bfloat16", use_remat=True, fused_aggregators=True,
-        workers=2, i_print=50, clip_grad_norm=args.clip,
-        strip_sampling=args.strip, strip_train=args.strip,
-        coherent_ray_segment=16 if args.strip else 0)
+        workers=2, i_print=50, clip_grad_norm=args.clip)
 
   data = MonocularSceneData(config, name)
   config.num_frames = data.num_frames
@@ -328,7 +319,6 @@ def main():
       "config": {
           "N_rand": config.N_rand, "N_samples": config.N_samples,
           "frames": data.num_frames, "hw": [scene.h, scene.w],
-          "strip_train": bool(args.strip),
           "clip_grad_norm": float(args.clip),
           "init_decay_epoch": config.init_decay_epoch,
           "compute_dtype": config.compute_dtype},

@@ -142,25 +142,12 @@ def test_scene_batch_trains_one_step(scene_dir):
   assert np.isfinite(float(metrics["loss"]))
 
 
-def test_coherent_ray_segments(scene_dir):
-  """coherent_ray_segment > 0 draws disjoint contiguous scanline segments
-  (the layout the Pallas training sampler's epipolar windows need)."""
+def test_center_mode_sampling(scene_dir):
   config = DynibarConfig(folder_path=scene_dir, training_height=H,
                          num_source_views=4, max_range=8, num_vv=2,
-                         init_decay_epoch=2, coherent_ray_segment=8)
+                         init_decay_epoch=2)
   data = MonocularSceneData(config, "tiny")
   data.set_epoch(0)
-  for seed in range(4):
-    rb = data.sample_batch(np.random.RandomState(seed), n_rays=24)
-    uv = rb["uv_grid"]
-    sel = uv[:, 1].astype(np.int64) * W + uv[:, 0].astype(np.int64)
-    segs = sel.reshape(3, 8)
-    for s in segs:
-      assert (np.diff(s) == 1).all(), s          # contiguous scanline runs
-    flat = np.sort(sel)
-    assert np.unique(flat).size == flat.size     # disjoint segments
-
-  # center-mode bootstrap sampling is unaffected by the flag
   rbc = data.sample_batch(np.random.RandomState(0), n_rays=16,
                           sample_mode="center")
   assert rbc["uv_grid"].shape == (16, 2)
