@@ -489,7 +489,7 @@ def _tile_layout(r: int, s: int, n_target: int = 0, v: int = 1):
 
 
 def _split_bwd_tile(n: int, s_block: int, v: int, cap: int,
-                    v_lane_budget: int = 4096) -> int:
+                    v_lane_budget: int = 2816) -> int:
   """Lane tile for the split backward kernels.
 
   The ray kernel's working set scales with v * lanes (per-view residual +
@@ -498,6 +498,13 @@ def _split_bwd_tile(n: int, s_block: int, v: int, cap: int,
   train step has ~1 MB less effective headroom than the same kernel
   compiled standalone (layout copies).  Pick the largest 64-multiple tile
   with v * lanes <= v_lane_budget that divides the padded lane count.
+
+  Budget 2816 (was 4096): the FF coarse trainer's V=7 dynamic stage
+  slipped through the old budget to a 512-lane tile (7*512 = 3584) and
+  busted the scoped limit by 254 KB on hardware.  2816 sends V=6/7 to a
+  384-lane tile (<= 0.75x the failing allocation — comfortable) and
+  leaves every verified mono configuration (V=9/10 -> 256 lanes)
+  unchanged.
 
   The STATIC trunk kernel carries a heavier per-view recompute (input MLP
   + AA weight chain) whose live range Mosaic's stack allocator only

@@ -239,7 +239,7 @@ def main():
 
   rng = jax.random.PRNGKey(1 + start_step)
   n_bootstrap_epochs = config.init_decay_epoch // 2
-  losses, step_times = [], []
+  losses, full_losses, step_times = [], [], []
   term_keys = ("rgb_loss", "disp_loss", "flow_loss", "cycle_loss",
                "reg_loss", "entropy_loss", "distortion_loss", "static_loss")
 
@@ -267,6 +267,8 @@ def main():
         step_times.append(time.perf_counter() - t0)
       t_step0 = t0
       losses.append(loss)
+      if epoch >= n_bootstrap_epochs:
+        full_losses.append(loss)
       if step % config.i_print == 0:
         gn = metrics.get("grad_norm")
         print(f"step {step} epoch {epoch} loss={loss:.4f} "
@@ -295,13 +297,17 @@ def main():
                                for r in curve]}, fh, indent=2)
 
   if args.quick:
-    # tiny CI smoke: overfit signal only (train view up, loss down)
+    # tiny CI smoke: overfit signal only (train view up, loss down).
+    # loss_drop compares medians WITHIN the full-loss phase: mixing the
+    # (much smaller) bootstrap static losses into the first-quarter
+    # median made an improving run read as a loss increase
+    ref = full_losses if len(full_losses) >= 8 else losses
     rise = (curve[-1].get("psnr_train_view_crop3",
                           curve[-1]["psnr_train_view"])
             - curve[0].get("psnr_train_view_crop3",
                            curve[0]["psnr_train_view"]))
-    q = max(len(losses) // 4, 1)
-    loss_drop = float(np.median(losses[:q]) - np.median(losses[-q:]))
+    q = max(len(ref) // 4, 1)
+    loss_drop = float(np.median(ref[:q]) - np.median(ref[-q:]))
   else:
     # gate on the reference's output protocol (3% border crop, see
     # eval_views); fall back to full-image keys for old-format curves

@@ -45,6 +45,11 @@ def parse_args():
   ap.add_argument("--height", type=int, default=96)
   ap.add_argument("--width", type=int, default=144)
   ap.add_argument("--n_rand", type=int, default=3072)
+  ap.add_argument("--n_rand_fine", type=int, default=2048,
+                  help="phase-B ray batch; the fine step carries the "
+                       "frozen coarse forward + 64+64-sample fine stage "
+                       "with anchors, and 3072x128 samples exceeds one "
+                       "v5e chip's HBM (measured 17.2G vs 15.75G)")
   ap.add_argument("--outdir", type=str, default="/tmp/dynibar_ff_convergence")
   ap.add_argument("--tag", type=str, default="ff")
   ap.add_argument("--gate_db", type=float, default=5.0,
@@ -199,9 +204,11 @@ def main():
 
   def run_phase(state, step_fn, steps, phase, curve):
     rng = jax.random.PRNGKey(11 if phase == "A" else 23)
+    n_rand = config.N_rand if phase == "A" else min(config.N_rand,
+                                                    args.n_rand_fine)
     losses, step_times = [], []
     with PrefetchPipeline(
-        lambda r: data.sample_batch(r, config.N_rand, config.sample_mode),
+        lambda r: data.sample_batch(r, n_rand, config.sample_mode),
         num_workers=config.workers, seed=0 if phase == "A" else 1) as pipe:
       weights = schedule_weights(config, epoch=0)
       for step in range(1, steps + 1):
