@@ -60,6 +60,9 @@ def parse_args():
   ap.add_argument("--quick", action="store_true")
   ap.add_argument("--resume_coarse", type=str, default="",
                   help="skip phase A; load coarse params from this orbax dir")
+  ap.add_argument("--resume_fine", action="store_true",
+                  help="resume phase B from ckpt_<tag>_B (params + opt "
+                       "state + step), merging the prior partial curve")
   return ap.parse_args()
 
 
@@ -202,16 +205,17 @@ def main():
         f"frames={data.num_frames} {scene.h}x{scene.w} "
         f"N_rand={config.N_rand} A={args.coarse_steps} B={args.fine_steps}")
 
-  def run_phase(state, step_fn, steps, phase, curve):
-    rng = jax.random.PRNGKey(11 if phase == "A" else 23)
+  def run_phase(state, step_fn, steps, phase, curve, start=0):
+    rng = jax.random.PRNGKey((11 if phase == "A" else 23) + start)
     n_rand = config.N_rand if phase == "A" else min(config.N_rand,
                                                     args.n_rand_fine)
     losses, step_times = [], []
     with PrefetchPipeline(
         lambda r: data.sample_batch(r, n_rand, config.sample_mode),
-        num_workers=config.workers, seed=0 if phase == "A" else 1) as pipe:
+        num_workers=config.workers,
+        seed=(0 if phase == "A" else 1) + start) as pipe:
       weights = schedule_weights(config, epoch=0)
-      for step in range(1, steps + 1):
+      for step in range(start + 1, steps + 1):
         rb = next(pipe)
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
@@ -236,6 +240,13 @@ def main():
           with open(out_path, "w") as fh:   # durable partial record
             json.dump({"partial": True, "tag": args.tag,
                        "curve": _round(curve)}, fh, indent=2)
+          # checkpoint EVERY eval: the remote tunnel does die mid-RPC
+          # (the mono 10k run lost step 9900-10000 this way; this run's
+          # first attempt lost 2000 fine steps)
+          from dynibar_tpu.utils.checkpoints import save_checkpoint
+          save_checkpoint(os.path.join(args.outdir,
+                                       f"ckpt_{args.tag}_{phase}"),
+                          step, state.params, state.opt_state, keep=3)
     return state, losses
 
   curve = []
@@ -268,13 +279,36 @@ def main():
       model, config, jax.random.PRNGKey(1),
       coarse_params={k: coarse_params[k] for k in FF_COARSE_KEYS})
   step_b = make_ff_train_step(model, tx_b, cfg, donate=False)
-  rec_b0 = eval_ff(model, state_b.params, data, cfg, config, views,
-                   outdir=imgdir, step=0, tag="B")
-  rec_b0.update(step=0, phase="B")
-  curve.append(rec_b0)
-  print("phase-B init:", {k: round(v, 2) for k, v in rec_b0.items()
-                          if isinstance(v, float)})
-  state_b, losses_b = run_phase(state_b, step_b, args.fine_steps, "B", curve)
+  start_b = 0
+  if args.resume_fine:
+    path_b = latest_checkpoint(os.path.join(args.outdir,
+                                            f"ckpt_{args.tag}_B"))
+    if path_b is not None:
+      payload = load_checkpoint(path_b)
+      state_b = TrainState(params=payload["params"],
+                           opt_state=payload["opt_state"],
+                           step=jnp.asarray(payload["step"], jnp.int32))
+      start_b = int(payload["step"])
+      print(f"resumed phase B from {path_b} at step {start_b}")
+      if os.path.exists(out_path):
+        with open(out_path) as fh:
+          prev = json.load(fh)
+        merged = [r for r in prev.get("curve", [])
+                  if r.get("phase") != "B" or r.get("step", 0) <= start_b]
+        if merged:
+          curve[:] = merged
+          print(f"merged {len(merged)} prior eval points")
+  if start_b == 0:
+    rec_b0 = eval_ff(model, state_b.params, data, cfg, config, views,
+                     outdir=imgdir, step=0, tag="B")
+    rec_b0.update(step=0, phase="B")
+    curve.append(rec_b0)
+    print("phase-B init:", {k: round(v, 2) for k, v in rec_b0.items()
+                            if isinstance(v, float)})
+  rec_b0 = next(r for r in curve if r.get("phase") == "B"
+                and r.get("step") == 0)
+  state_b, losses_b = run_phase(state_b, step_b, args.fine_steps, "B",
+                                curve, start=start_b)
 
   fine_keys = [k for k in curve[-1]
                if "_fine_crop3" in k and k.startswith("psnr_")]
