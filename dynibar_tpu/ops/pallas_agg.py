@@ -501,10 +501,11 @@ def _split_bwd_tile(n: int, s_block: int, v: int, cap: int,
 
   Budget 2816 (was 4096): the FF coarse trainer's V=7 dynamic stage
   slipped through the old budget to a 512-lane tile (7*512 = 3584) and
-  busted the scoped limit by 254 KB on hardware.  2816 sends V=6/7 to a
-  384-lane tile (<= 0.75x the failing allocation — comfortable) and
-  leaves every verified mono configuration (V=9/10 -> 256 lanes)
-  unchanged.
+  busted the scoped limit by 254 KB on hardware.  2816 caps V=6/7 at a
+  384-lane tile (<= 0.75x the failing allocation — comfortable) when the
+  padded lane count is divisible by 384, else the usual power-of-two
+  count lands them at 256; both fit.  Every verified mono configuration
+  (V=9/10 -> 256 lanes) is unchanged.
 
   The STATIC trunk kernel carries a heavier per-view recompute (input MLP
   + AA weight chain) whose live range Mosaic's stack allocator only

@@ -261,7 +261,8 @@ def render_rays_mono(
       pixel_mask_st=pixel_mask_st, input_ray_dir=input_ray_dir,
       apply_dy=lambda *a: apply_dy(params, *a),
       apply_motion=lambda x: model.apply_motion(params, x),
-      basis=params["traj_basis"], anchor_featmaps=featmaps[1], strip=strip)
+      basis=params["traj_basis"], anchor_featmaps=featmaps[1],
+      strip=_strip_arg(cfg, needs_grad))
 
   ret["outputs_coarse_anchor"] = outputs_anchor
   ret["outputs_coarse_anchor_dy"] = outputs_anchor_dy

@@ -214,8 +214,14 @@ def main():
         lambda r: data.sample_batch(r, n_rand, config.sample_mode),
         num_workers=config.workers,
         seed=(0 if phase == "A" else 1) + start) as pipe:
-      weights = schedule_weights(config, epoch=0)
+      # advance the loss schedule per data epoch (= num_frames steps),
+      # matching the mono protocol (cli/train.py:163-164); weights are
+      # traced jnp scalars so a divisor change never retraces
+      epoch = -1
       for step in range(start + 1, steps + 1):
+        if step // data.num_frames != epoch:
+          epoch = step // data.num_frames
+          weights = schedule_weights(config, epoch)
         rb = next(pipe)
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
@@ -305,8 +311,18 @@ def main():
     curve.append(rec_b0)
     print("phase-B init:", {k: round(v, 2) for k, v in rec_b0.items()
                             if isinstance(v, float)})
-  rec_b0 = next(r for r in curve if r.get("phase") == "B"
-                and r.get("step") == 0)
+  # baseline for the rise gate: the phase-B step-0 eval, or (when a resumed
+  # partial curve predates the first phase-B eval) the earliest phase-B
+  # record; re-run the init eval if there is none at all
+  b_records = sorted((r for r in curve if r.get("phase") == "B"),
+                     key=lambda r: r.get("step", 0))
+  if b_records:
+    rec_b0 = b_records[0]
+  else:
+    rec_b0 = eval_ff(model, state_b.params, data, cfg, config, views,
+                     outdir=imgdir, step=start_b, tag="B")
+    rec_b0.update(step=start_b, phase="B")
+    curve.append(rec_b0)
   state_b, losses_b = run_phase(state_b, step_b, args.fine_steps, "B",
                                 curve, start=start_b)
 

@@ -99,6 +99,48 @@ def test_mono_cm_handoff_matches_standard():
           err_msg=f"{key}/{field}")
 
 
+def test_mono_train_view_render_under_handoff():
+  """Regression (VERDICT r4 weak #1): render_rays_mono with is_train=True
+  but needs_grad=False — exactly what cli.train's i_img panel does via
+  render_image_mono(train_view=True) — took the cm-handoff branch, which
+  never bound ``strip``, then passed ``strip=strip`` to the cross-time
+  branch: UnboundLocalError on any training config with
+  strip_sampling=true.  Must render cleanly and match the non-handoff
+  train-view render on the shared fields."""
+  from dynibar_tpu.render.render_image import (full_image_ray_batch,
+                                               render_image_mono)
+  from dynibar_tpu.train.trainer import compute_featmaps
+
+  kw = dict(n_samples=8, num_views_dy=9, num_views_anchor=10,
+            num_views_static=6, num_vv=3, num_basis=4,
+            compute_dtype="bfloat16", fused_aggregators=True,
+            strip_sampling=True)
+  cfg_std = RenderSettings(fused_handoff=False, **kw)
+  cfg_cm = RenderSettings(fused_handoff=True, **kw)
+  h, w = 12, 16
+  model = MonoModel(cfg=cfg_cm, num_frames=32)
+  params = model.init_params(jax.random.PRNGKey(0))
+  rb = {k: jnp.asarray(v) for k, v in synthetic_mono_batch(
+      cfg_cm, n_rays=8, h=h, w=w, num_frames=32).items()}
+  full_rb = full_image_ray_batch(rb, rb["camera"])
+  featmaps = compute_featmaps(model, params, full_rb)
+
+  outs = {}
+  for tag, cfg in (("std", cfg_std), ("cm", cfg_cm)):
+    m = MonoModel(cfg=cfg, num_frames=32)
+    outs[tag] = render_image_mono(m, params, full_rb, featmaps, cfg,
+                                  chunk_size=64, height=h, width=w,
+                                  train_view=True)
+
+  anchor = outs["cm"]["outputs_coarse_anchor"]
+  assert anchor["rgb"].shape == (h, w, 3)
+  assert np.isfinite(np.asarray(anchor["occ_weight_map"])).all()
+  for key in ("outputs_coarse_ref", "outputs_coarse_anchor"):
+    np.testing.assert_array_equal(
+        np.asarray(outs["std"][key]["rgb"]),
+        np.asarray(outs["cm"][key]["rgb"]), err_msg=key)
+
+
 def test_cm_handoff_ray_padding():
   """Ray counts that don't fill the aggregator tile exercise the
   trailing-axis pad path (pv_cm r_pad branch)."""
