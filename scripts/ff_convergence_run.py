@@ -290,7 +290,13 @@ def main():
     path_b = latest_checkpoint(os.path.join(args.outdir,
                                             f"ckpt_{args.tag}_B"))
     if path_b is not None:
-      payload = load_checkpoint(path_b)
+      # restore with a payload-shaped template: optax multi_transform
+      # states are namedtuples that a template-less orbax restore
+      # flattens to plain dicts, which tx.update then rejects
+      # (utils/checkpoints.py:60-69)
+      payload = load_checkpoint(
+          path_b, {"params": state_b.params, "opt_state": state_b.opt_state,
+                   "step": np.int32(0)})
       state_b = TrainState(params=payload["params"],
                            opt_state=payload["opt_state"],
                            step=jnp.asarray(payload["step"], jnp.int32))

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Price every advertised speed mode in dB on a TRAINED FF checkpoint
+# (VERDICT r4 ask #2): run the Nvidia eval protocol on an identical frame
+# subset for each rung of the --mode ladder (see eval_ff_synthetic.py) and
+# print one JSON line per mode.  Run on an otherwise-idle host; each mode
+# compiles its own render program (minutes, cached across re-runs).
+#
+#   bash scripts/price_speed_modes.sh [CKPT] [FRAMES] [OUT]
+set -u
+CKPT="${1:-/tmp/dynibar_ff_convergence/ckpt_fftpu10k_B}"
+FRAMES="${2:-8}"
+OUT="${3:-/tmp/speed_mode_pricing.jsonl}"
+cd "$(dirname "$0")/.."
+: > "$OUT"
+for mode in exact_f32 exact_bf16 fused_bf16 production fused_rgb; do
+  echo "=== mode $mode ===" >&2
+  timeout 3600 python scripts/eval_ff_synthetic.py \
+      --ckpt "$CKPT" --frames "$FRAMES" --mode "$mode" 2>/dev/null \
+    | grep '^{' | tee -a "$OUT"
+done
+echo "wrote $OUT" >&2
