@@ -9,6 +9,7 @@ no_load_opt / no_load_scheduler equivalents.  Storage is Orbax.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Optional, Tuple
 
 import jax
@@ -32,21 +33,29 @@ def save_checkpoint(out_folder: str, step: int, params: Any,
     payload["opt_state"] = opt_state
   with ocp.PyTreeCheckpointer() as ckpter:
     ckpter.save(path, payload, force=True)
-  # prune old snapshots
-  snaps = sorted(d for d in os.listdir(out_folder)
-                 if d.startswith(name + "_"))
+  # prune old snapshots of THIS name only (exact <name>_<digits> match:
+  # "model_" is a prefix of "model_no-vv_", and the no-vv dir sorts after
+  # every numeric step, so prefix matching would both mis-prune and make
+  # latest_checkpoint("model") return the frozen no-vv snapshot forever)
+  snaps = _snapshots(out_folder, name)
   for stale in snaps[:-keep]:
     import shutil
     shutil.rmtree(os.path.join(out_folder, stale), ignore_errors=True)
   return path
 
 
+def _snapshots(out_folder: str, name: str) -> list:
+  """Snapshot dirs named exactly <name>_<digits>, sorted by step."""
+  pat = re.compile(re.escape(name) + r"_(\d+)$")
+  return sorted((d for d in os.listdir(out_folder) if pat.match(d)),
+                key=lambda d: int(pat.match(d).group(1)))
+
+
 def latest_checkpoint(out_folder: str, name: str = "model") -> Optional[str]:
   out_folder = _abs(out_folder)
   if not os.path.isdir(out_folder):
     return None
-  snaps = sorted(d for d in os.listdir(out_folder)
-                 if d.startswith(name + "_"))
+  snaps = _snapshots(out_folder, name)
   return os.path.join(out_folder, snaps[-1]) if snaps else None
 
 

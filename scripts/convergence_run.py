@@ -246,14 +246,36 @@ def main():
   def sample(np_rng):
     return data.sample_batch(np_rng, config.N_rand, config.sample_mode)
 
+  schedule_events = []   # divisor transitions actually executed (late-
+                         # schedule evidence: reference train.py:302-445)
   with PrefetchPipeline(sample, num_workers=config.workers, seed=0) as pipe:
-    epoch_prev, weights = -1, None
+    epoch_prev, weights, divisor_prev = -1, None, -1
     t_step0 = None
     for step in range(start_step + 1, args.steps + 1):
       epoch = step // data.num_frames
       if epoch != epoch_prev:
         data.set_epoch(epoch)
         weights = schedule_weights(config, epoch)
+        divisor = epoch // config.init_decay_epoch
+        if divisor != divisor_prev:
+          ev = {"step": step, "epoch": epoch, "divisor": divisor,
+                "w_disp": float(weights.w_disp),
+                "w_flow": float(weights.w_flow),
+                "dynamic_rgb_decay": float(weights.dynamic_rgb_decay),
+                "use_dynamic_mask_rgb": float(weights.use_dynamic_mask_rgb),
+                "suppress_dynamic": float(weights.suppress_dynamic)}
+          schedule_events.append(ev)
+          print(f"schedule: {ev}", flush=True)
+          divisor_prev = divisor
+        # one-shot pre-virtual-view snapshot at epoch init_decay_epoch*5,
+        # same trigger as the production driver (cli/train.py:209-214,
+        # reference train.py:503-506) so the compressed-schedule run
+        # exercises the full late-phase surface
+        if epoch == config.init_decay_epoch * 5:
+          save_checkpoint(ckpt_dir, step, state.params, state.opt_state,
+                          name="model_no-vv")
+          print(f"saved model_no-vv snapshot at step {step} "
+                f"(epoch {epoch})", flush=True)
         epoch_prev = epoch
       rb = next(pipe)
       rng, sub = jax.random.split(rng)
@@ -291,6 +313,7 @@ def main():
         # durable partial record: a dead tunnel must not lose the curve
         with open(out_path, "w") as fh:
           json.dump({"partial": True, "tag": args.tag, "steps_done": step,
+                     "schedule_events": schedule_events,
                      "sec_per_step_mean": (float(np.mean(step_times))
                                            if step_times else None),
                      "curve": [{k: round(float(v), 4) for k, v in r.items()}
@@ -333,6 +356,7 @@ def main():
       "init": {k: round(float(v), 3) for k, v in curve[0].items()},
       "novel_psnr_rise_db": round(float(rise), 3),
       "loss_drop": loss_drop,
+      "schedule_events": schedule_events,
       "gate_db": args.gate_db,
       "gate_passed": bool(rise >= args.gate_db
                           and (loss_drop is None or loss_drop > 0)),

@@ -12,7 +12,11 @@ FRAMES="${2:-8}"
 OUT="${3:-/tmp/speed_mode_pricing.jsonl}"
 cd "$(dirname "$0")/.."
 : > "$OUT"
-for mode in exact_f32 exact_bf16 fused_bf16 production fused_rgb; do
+# order: gold anchor first, then the advertised modes (production 17.4k,
+# fused_rgb 21.3k) against the r4-table baseline (fused_bf16); exact_bf16
+# (prices the kernels vs flax in isolation) last — least load-bearing if
+# the session runs out of wall-clock mid-ladder
+for mode in exact_f32 fused_bf16 production fused_rgb exact_bf16; do
   echo "=== mode $mode ===" >&2
   timeout 3600 python scripts/eval_ff_synthetic.py \
       --ckpt "$CKPT" --frames "$FRAMES" --mode "$mode" 2>/dev/null \

@@ -59,6 +59,31 @@ def test_prune_keeps_last_k(tmp_path):
   assert len(snaps) == 3
 
 
+def test_no_vv_snapshot_does_not_shadow_latest(tmp_path):
+  """The one-shot `model_no-vv` snapshot (cli/train.py:209-214) must be
+  invisible to latest_checkpoint("model"): "model_" is a prefix of
+  "model_no-vv_" and 'n' sorts after every digit, so prefix matching made
+  auto-resume rewind to the frozen snapshot forever after it was written."""
+  out = str(tmp_path / "exp")
+  ckpt.save_checkpoint(out, 1800, _tree(), name="model_no-vv")
+  ckpt.save_checkpoint(out, 2000, _tree())
+  latest = ckpt.latest_checkpoint(out)
+  assert latest.endswith("model_00002000"), latest
+  _, step = ckpt.resume_from(out)
+  assert step == 2000
+  # the no-vv snapshot is still addressable under its own name
+  assert ckpt.latest_checkpoint(out, name="model_no-vv").endswith(
+      "model_no-vv_00001800")
+  # and regular pruning neither deletes it nor counts it toward keep
+  for s in (2100, 2200, 2300):
+    ckpt.save_checkpoint(out, s, _tree(), keep=3)
+  import os
+  snaps = sorted(d for d in os.listdir(out) if d.startswith("model_"))
+  assert "model_no-vv_00001800" in snaps
+  assert [d for d in snaps if "no-vv" not in d] == [
+      "model_00002100", "model_00002200", "model_00002300"]
+
+
 def test_ff_optimizer_freezes_coarse():
   from dynibar_tpu.config import DynibarConfig
   from dynibar_tpu.train.trainer import make_ff_optimizer
