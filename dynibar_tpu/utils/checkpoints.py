@@ -28,9 +28,15 @@ def save_checkpoint(out_folder: str, step: int, params: Any,
   out_folder = _abs(out_folder)
   os.makedirs(out_folder, exist_ok=True)
   path = os.path.join(out_folder, f"{name}_{step:08d}")
+  # store host numpy leaves: device arrays serialize with their sharding,
+  # and a template-less restore in a fresh process (render/serve CLIs via
+  # resume_from) then fails with "sharding ... Got None"; numpy leaves
+  # restore anywhere, on any topology
+  params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
   payload = {"params": params, "step": np.int32(step)}
   if opt_state is not None:
-    payload["opt_state"] = opt_state
+    payload["opt_state"] = jax.tree_util.tree_map(
+        np.asarray, jax.device_get(opt_state))
   with ocp.PyTreeCheckpointer() as ckpter:
     ckpter.save(path, payload, force=True)
   # prune old snapshots of THIS name only (exact <name>_<digits> match:

@@ -62,6 +62,13 @@ def main():
   ap.add_argument("--wander_frames", type=int, default=12)
   ap.add_argument("--startup_timeout", type=float, default=1800.0,
                   help="includes the warmup compile through the tunnel")
+  # model-architecture flags must match the checkpoint being served
+  ap.add_argument("--n_samples", type=int, default=64)
+  ap.add_argument("--num_source_views", type=int, default=7)
+  ap.add_argument("--num_vv", type=int, default=3)
+  ap.add_argument("--num_basis", type=int, default=6)
+  ap.add_argument("--max_range", type=int, default=24)
+  ap.add_argument("--chunk_size", type=int, default=4608)
   args = ap.parse_args()
 
   os.makedirs(args.out, exist_ok=True)
@@ -73,9 +80,12 @@ def main():
        "--port", str(args.port),
        "--folder_path", args.root, "--train_scenes", args.scene,
        "--training_height", str(args.height),
-       "--num_source_views", "7", "--num_basis", "6", "--num_vv", "3",
-       "--max_range", "24", "--N_samples", "64", "--N_importance", "0",
-       "--chunk_size", "4608", "--ckpt_path", args.ckpt_path],
+       "--num_source_views", str(args.num_source_views),
+       "--num_basis", str(args.num_basis), "--num_vv", str(args.num_vv),
+       "--max_range", str(args.max_range),
+       "--N_samples", str(args.n_samples), "--N_importance", "0",
+       "--chunk_size", str(args.chunk_size),
+       "--ckpt_path", args.ckpt_path],
       cwd=repo, stdout=open(os.path.join(args.out, "server.log"), "w"),
       stderr=subprocess.STDOUT)
   timings = {}

@@ -59,6 +59,24 @@ def test_prune_keeps_last_k(tmp_path):
   assert len(snaps) == 3
 
 
+def test_checkpoint_leaves_are_host_numpy(tmp_path):
+  """Saved payloads must hold numpy leaves: device arrays serialize with
+  their sharding, and a template-less restore in a fresh process (the
+  render/serve CLIs' resume_from) then fails with "sharding ... Got
+  None". Numpy leaves restore on any topology."""
+  out = str(tmp_path / "exp")
+  params = _tree()                       # jnp (device) leaves
+  opt_state = {"mu": jnp.zeros((4,)), "count": jnp.int32(3)}
+  path = ckpt.save_checkpoint(out, 7, params, opt_state)
+  payload = ckpt.load_checkpoint(path)   # template-less, like the CLIs
+  leaves = jax.tree_util.tree_leaves(
+      {"p": payload["params"], "o": payload["opt_state"]})
+  assert leaves and all(isinstance(l, np.ndarray) for l in leaves), [
+      type(l) for l in leaves]
+  np.testing.assert_allclose(payload["params"]["a"]["kernel"],
+                             np.arange(6.0).reshape(2, 3))
+
+
 def test_no_vv_snapshot_does_not_shadow_latest(tmp_path):
   """The one-shot `model_no-vv` snapshot (cli/train.py:209-214) must be
   invisible to latest_checkpoint("model"): "model_" is a prefix of
