@@ -57,8 +57,12 @@ def main():
   args = ap.parse_args()
 
   mode_kw = {
+      # chunk 2304: the f32 flax render at chunk 4608 exceeds one v5e
+      # chip's HBM by 17 MB (measured 15.76G vs 15.75G; a padded f32
+      # buffer takes a 4.0x expansion) — halving the ray chunk clears it
       "exact_f32": dict(compute_dtype="float32", fused_aggregators=False,
-                        strip_sampling=False, fused_rgb_sampling=False),
+                        strip_sampling=False, fused_rgb_sampling=False,
+                        chunk_size=2304),
       "exact_bf16": dict(compute_dtype="bfloat16", fused_aggregators=False,
                          strip_sampling=False, fused_rgb_sampling=False),
       "fused_bf16": dict(compute_dtype="bfloat16", fused_aggregators=True,
@@ -80,8 +84,8 @@ def main():
   config = DynibarConfig(
       folder_path=args.root, eval_scenes=[args.scene],
       training_height=args.height, N_samples=64, N_importance=64,
-      num_source_views=7, num_basis=6, mask_static=False, chunk_size=4608,
-      **mode_kw)
+      num_source_views=7, num_basis=6, mask_static=False,
+      chunk_size=mode_kw.pop("chunk_size", 4608), **mode_kw)
   cfg = config.render_settings("ff")
   model = FFModel(cfg=cfg, num_frames=48)
 

@@ -19,7 +19,10 @@ cd "$(dirname "$0")/.."
 for mode in exact_f32 fused_bf16 production fused_rgb exact_bf16; do
   echo "=== mode $mode ===" >&2
   timeout 3600 python scripts/eval_ff_synthetic.py \
-      --ckpt "$CKPT" --frames "$FRAMES" --mode "$mode" 2>/dev/null \
+      --ckpt "$CKPT" --frames "$FRAMES" --mode "$mode" \
+      2>"/tmp/speed_mode_${mode}.err" \
     | grep '^{' | tee -a "$OUT"
+  [ "${PIPESTATUS[0]}" -ne 0 ] && \
+    echo "mode $mode FAILED — see /tmp/speed_mode_${mode}.err" >&2
 done
 echo "wrote $OUT" >&2
