@@ -99,13 +99,16 @@ def main():
       meta = json.loads(r.read())
     print("meta:", meta)
 
-    # a real scene pose for /render: mid-frame camera from the LLFF file
-    pb = np.load(os.path.join(args.root, args.scene, "dense",
-                              "poses_bounds_cvd.npy"))
-    from dynibar_tpu.data.llff import parse_llff_pose
+    # a real scene pose for /render, in the LOADER world (scaled +
+    # recentered, the same transform the session's dataset applies):
+    # raw poses_bounds rows live in the disk world and render empty
+    # frames if posted directly
+    from dynibar_tpu.data.llff import load_scene_poses, parse_llff_pose
+    meta_scene = load_scene_poses(
+        os.path.join(args.root, args.scene, "dense"),
+        height=meta["height"], with_vv=True)
     mid = meta["num_frames"] // 2
-    _, c2w = parse_llff_pose(
-        pb[mid, :15].reshape(3, 5).astype(np.float32))
+    _, c2w = parse_llff_pose(meta_scene["poses"][mid])
 
     png, ctype, dt = post(base, "/render",
                           {"c2w": c2w.tolist(), "frame_idx": mid})
